@@ -1,0 +1,245 @@
+"""Public API: auction_solve / hopcroft_solve / AuctionSolver (T10).
+
+Mirrors the reference's user surface (SURVEY.md SS1, SS3a R1, SS4) with the
+reconstructed contract documented in SURVEY.md SS0 (reference mount empty):
+
+  auction_solve(mat=...)            dense, negative entries = forbidden
+  auction_solve(loc=..., val=...)   COO sparse
+  hopcroft_solve(...)               standalone maximum bipartite matching
+  AuctionSolver(...)                construct once, solve(), inspect prices
+
+Returns a dict-like ``AuctionSolution`` with 'sol' (row -> col int array) and
+'meta' (objective, rounds, phases, final eps, solution-found flag, timing).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sslap_tpu import auction as _auction
+from sslap_tpu import feasibility as _feas
+from sslap_tpu import ingest as _ingest
+from sslap_tpu.ingest import ELLProblem
+
+
+class InfeasibleError(ValueError):
+    """No perfect matching exists for the given sparsity pattern."""
+
+
+class AuctionSolution(dict):
+    """Dict with attribute access: keys 'sol', 'meta' (and convenience
+    properties).  Key names follow SURVEY.md SS1 item 7 ([K-med]; exact
+    reference keys unverifiable -- mount empty)."""
+
+    @property
+    def sol(self) -> np.ndarray:
+        return self["sol"]
+
+    @property
+    def meta(self) -> dict:
+        return self["meta"]
+
+    @property
+    def objective(self):
+        return self["meta"]["obj"]
+
+
+def _ingest_any(mat=None, loc=None, val=None, shape=None, dtype=None,
+                pad_to=None) -> ELLProblem:
+    if mat is not None:
+        if loc is not None or val is not None:
+            raise ValueError("pass either mat= or (loc=, val=), not both")
+        return _ingest.from_dense(mat, dtype=dtype, pad_to=pad_to)
+    if loc is None or val is None:
+        raise ValueError("pass a dense mat= or sparse loc= and val=")
+    return _ingest.from_coo(loc, val, shape=shape, dtype=dtype, pad_to=pad_to)
+
+
+def _objective_host(prob: ELLProblem, sol: np.ndarray) -> float:
+    """Objective from original costs, computed on host in float64/int64 --
+    exact regardless of the on-device dtype."""
+    cols = np.asarray(prob.cols)
+    vals = np.asarray(prob.vals)
+    valid = np.asarray(prob.valid)
+    assigned = sol >= 0
+    if not assigned.any():
+        return 0.0
+    rows = np.nonzero(assigned)[0]
+    hit = (cols[rows] == sol[rows, None]) & valid[rows]
+    # every assigned (row, col) must be a stored valid entry
+    slot = hit.argmax(axis=1)
+    acc_dtype = np.int64 if np.issubdtype(vals.dtype, np.integer) else np.float64
+    obj = vals[rows, slot].astype(acc_dtype).sum()
+    return int(obj) if acc_dtype is np.int64 else float(obj)
+
+
+class AuctionSolver:
+    """Construct-once solver over an ingested problem (reference
+    ``AuctionSolver``, SURVEY.md SS4.4).  Holds prices after a solve so they
+    can be inspected or reused to warm-start a similar instance."""
+
+    def __init__(
+        self,
+        mat=None,
+        *,
+        loc=None,
+        val=None,
+        shape: Optional[Tuple[int, int]] = None,
+        problem: str = "min",
+        eps_start=None,
+        eps_min=None,
+        theta: float = 5.0,
+        max_iter: Optional[int] = None,
+        cardinality_check: bool = True,
+        dtype=None,
+        pad_to: Optional[int] = None,
+    ):
+        self.problem_spec = _ingest_any(mat=mat, loc=loc, val=val, shape=shape,
+                                        dtype=dtype, pad_to=pad_to)
+        if self.problem_spec.n == 0:
+            raise ValueError("empty problem (no rows)")
+        self.problem = problem
+        self.eps_start = eps_start
+        self.eps_min = eps_min
+        self.theta = theta
+        self.max_iter = max_iter
+        self.cardinality_check = cardinality_check
+        self.prices: Optional[np.ndarray] = None
+        self.meta: Optional[dict] = None
+
+    # -- internals ---------------------------------------------------------
+
+    def _prepare(self, warm_prices=None):
+        prob = self.problem_spec
+        vals = np.asarray(prob.vals)
+        valid = np.asarray(prob.valid)
+        vmax_abs = float(np.abs(vals[valid]).max()) if valid.any() else 0.0
+        tr = _auction.make_transform(self.problem, prob.m, vals.dtype, vmax_abs)
+        e0, e_min, theta = _auction.default_eps_schedule(
+            vals.dtype, vmax_abs, prob.m, tr.scale,
+            eps_min=self.eps_min, eps_start=self.eps_start, theta=self.theta)
+        max_iter = (self.max_iter if self.max_iter is not None
+                    else _auction.default_max_iter(prob.n))
+        if warm_prices is None:
+            p0 = jnp.zeros((prob.m,), prob.vals.dtype)
+        else:
+            p0 = jnp.asarray(warm_prices, prob.vals.dtype)
+        return tr, e0, e_min, theta, max_iter, p0
+
+    def solve(self, warm_prices=None) -> AuctionSolution:
+        prob = self.problem_spec
+        t0 = time.perf_counter()
+        if self.cardinality_check and not _feas.is_feasible(prob):
+            raise InfeasibleError(
+                "no perfect matching exists for this sparsity pattern "
+                "(detected by Hopcroft-Karp cardinality check; pass "
+                "cardinality_check=False to attempt anyway)")
+        tr, e0, e_min, theta, max_iter, p0 = self._prepare(warm_prices)
+        vals_t = tr.apply(prob.vals)
+        res = _solve_jit(prob.cols, vals_t, prob.valid, prob.nvalid, p0,
+                         e0, e_min, theta, max_iter)
+        sol = np.asarray(res.sigma)
+        t1 = time.perf_counter()
+        # solve_ell's count excludes rows with no valid entries; they are
+        # genuinely unassignable, so fold them back in here.
+        n_empty = int((np.asarray(prob.nvalid) == 0).sum())
+        unassigned = int(np.asarray(res.unassigned)) + n_empty
+        soln_found = unassigned == 0
+        self.prices = np.asarray(res.prices)
+        self.meta = {
+            "obj": _objective_host(prob, sol) if soln_found else None,
+            "its": int(np.asarray(res.rounds)),
+            "phases": int(np.asarray(res.phases)),
+            "soln_found": soln_found,
+            "final_eps": (float(np.asarray(res.final_eps)) / tr.scale),
+            "unassigned": unassigned,
+            "time": t1 - t0,
+        }
+        return AuctionSolution(sol=sol, meta=self.meta)
+
+
+import functools
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _solve_jit(cols, vals_t, valid, nvalid, p0, eps0, eps_min, theta,
+               max_iter):
+    return _auction.solve_ell(cols, vals_t, valid, nvalid, p0,
+                              eps0, eps_min, theta, max_iter)
+
+
+def auction_solve(
+    mat=None,
+    *,
+    loc=None,
+    val=None,
+    shape: Optional[Tuple[int, int]] = None,
+    problem: str = "min",
+    eps_start=None,
+    eps_min=None,
+    theta: float = 5.0,
+    max_iter: Optional[int] = None,
+    cardinality_check: bool = True,
+    dtype=None,
+) -> AuctionSolution:
+    """Solve a (sparse) linear assignment problem with the auction algorithm.
+
+    Args:
+      mat: dense [n, m] cost matrix; negative / NaN entries are forbidden.
+      loc, val: COO sparse alternative -- int [nnz, 2] coords + [nnz] costs
+        (all >= 0); ``shape`` optionally fixes (n, m).
+      problem: 'min' (default) or 'max' objective.
+      eps_start, eps_min, theta: epsilon-scaling schedule overrides.
+      max_iter: cap on Jacobi rounds (safety valve for infeasible inputs when
+        cardinality_check=False).
+      cardinality_check: run the Hopcroft-Karp feasibility pre-check and
+        raise InfeasibleError if no perfect matching exists.
+      dtype: force on-device dtype (int32 = exact, float32 = eps-optimal).
+
+    Returns:
+      AuctionSolution with 'sol' (int array, row -> col, -1 if unassigned)
+      and 'meta' ({'obj', 'its', 'phases', 'soln_found', 'final_eps',
+      'unassigned', 'time'}).
+    """
+    solver = AuctionSolver(
+        mat, loc=loc, val=val, shape=shape, problem=problem,
+        eps_start=eps_start, eps_min=eps_min, theta=theta, max_iter=max_iter,
+        cardinality_check=cardinality_check, dtype=dtype)
+    return solver.solve()
+
+
+def hopcroft_solve(mat=None, *, loc=None, val=None,
+                   shape: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Standalone Hopcroft-Karp maximum bipartite matching over the sparsity
+    pattern (values ignored; reference R3, SURVEY.md SS4.3).
+
+    Returns int array [n]: matched column per row, -1 if unmatched.
+    """
+    if mat is not None:
+        prob = _ingest.from_dense(mat)
+    else:
+        if loc is None:
+            raise ValueError("pass mat= or loc= (val optional for matching)")
+        if val is None:
+            val = np.zeros(np.asarray(loc).shape[0], np.int32)
+        prob = _ingest.from_coo(loc, val, shape=shape,
+                                require_nonnegative=False)
+    match_row, _, _ = _feas.hopcroft_karp(prob)
+    return match_row.astype(np.int64)
+
+
+def linear_sum_assignment(cost, maximize: bool = False):
+    """scipy-compatible adapter: returns (row_ind, col_ind) for a dense cost
+    matrix (no forbidden-entry convention -- all entries valid; shift applied
+    internally so negatives are allowed, matching scipy semantics)."""
+    cost = np.asarray(cost, np.float64)
+    shift = min(0.0, float(cost.min())) if cost.size else 0.0
+    res = auction_solve(cost - shift, problem="max" if maximize else "min")
+    sol = res["sol"]
+    rows = np.arange(cost.shape[0])
+    return rows, sol

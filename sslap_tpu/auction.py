@@ -1,0 +1,427 @@
+"""Jacobi auction solver with epsilon-scaling (pure JAX orchestration layer).
+
+Implements Bertsekas' forward auction in its *Jacobi* (all-unassigned-rows-
+bid-simultaneously) form, which is the variant that maps onto TPU vector
+units and onto multi-device meshes (SURVEY.md SS8.0).  The reference
+(sslap's Cython ``AuctionSolver``, SURVEY.md SS3a R2 / SS4.1) runs a serial
+Gauss-Seidel bid loop; a literal translation would be a scalar loop that XLA
+cannot tile, so instead every round:
+
+  1. BID:    every row computes top-2 of (a_ij - p_j) over its nnz and a bid
+             on its best column  (kernel layer, ops/bid.py or pure jnp here);
+  2. RESOLVE: per column, the max bid wins, ties -> lowest row index
+             (deterministic, documented tie-break);
+  3. COMMIT: winning columns raise prices, evict previous owners.
+
+Shapes are fully static: *all* rows compute bids every round and non-bidding
+rows are masked out of the commit scatter (SURVEY.md SS8.2 item 1).
+
+Exactness: integer costs run on int32, pre-scaled by (n+1) with the epsilon
+schedule ending at eps = 1, which yields an exactly optimal assignment
+(standard auction-algorithm result; SURVEY.md SS8.0).  Float costs run on
+f32 and are eps-optimal within n * eps_min.
+
+Epsilon-complementary-slackness (eps-CS) invariant maintained by every
+round and checked in tests/test_properties.py:
+    a[i, sigma(i)] - p[sigma(i)] >= max_j (a[i, j] - p[j]) - eps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sslap_tpu.ingest import ELLProblem
+
+# Sentinel used *only inside max-reductions / masked selects*; never fed into
+# bid arithmetic (see the has-second-best select below), so no overflow.
+_INT_NEG = -(2 ** 30)
+_I32_MAX = 2 ** 31 - 1
+
+
+def neg_sentinel(dtype) -> jax.Array:
+    dtype = jnp.dtype(dtype)
+    if jnp.issubdtype(dtype, jnp.integer):
+        return jnp.asarray(_INT_NEG, dtype)
+    return jnp.asarray(jnp.finfo(dtype).min / 4, dtype)
+
+
+class AuctionState(NamedTuple):
+    """Carried state of the scaled auction.  A tiny pytree -- snapshotting it
+    (prices, sigma, owner, eps) is the checkpoint/warm-start payload
+    (SURVEY.md SS6 'Checkpoint / resume')."""
+
+    prices: jax.Array   # [m]    dtype = solver dtype
+    owner: jax.Array    # [m]    int32 global row owning column j, -1 free
+    sigma: jax.Array    # [n]    int32 column assigned to row i, -1 free
+    eps: jax.Array      # scalar dtype
+    rounds: jax.Array   # scalar int32, total Jacobi rounds so far
+    phases: jax.Array   # scalar int32, eps phases completed
+
+
+class SolveResult(NamedTuple):
+    sigma: jax.Array        # [n] int32
+    prices: jax.Array       # [m] dtype
+    rounds: jax.Array       # int32
+    phases: jax.Array       # int32
+    final_eps: jax.Array    # dtype
+    unassigned: jax.Array   # int32 rows left unassigned (0 => solution found)
+
+
+# ---------------------------------------------------------------------------
+# Round pieces.  Kept as separate pure functions so the sharded path
+# (parallel/sharded.py) and the Pallas fast path (ops/bid.py) can reuse the
+# resolve/commit logic unchanged.
+# ---------------------------------------------------------------------------
+
+
+def compute_bids(
+    cols: jax.Array,       # [n, K] int32
+    vals_t: jax.Array,     # [n, K] transformed (maximization) values
+    valid: jax.Array,      # [n, K] bool
+    nvalid: jax.Array,     # [n] int32
+    prices: jax.Array,     # [m]
+    sigma: jax.Array,      # [n] int32
+    eps: jax.Array,        # scalar
+    bigp: jax.Array,       # scalar: finite stand-in for "-inf second best"
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-row top-2 reduction and bid (reference hot loop, SURVEY.md SS4.1
+    'BIDDING').  Returns (tgt [n] int32 target column, or m for non-bidders;
+    bid [n] dtype new price offered)."""
+    n, K = cols.shape
+    m = prices.shape[0]
+    dtype = vals_t.dtype
+    neg = neg_sentinel(dtype)
+
+    w = jnp.where(valid, vals_t - prices[cols], neg)            # [n, K]
+    slot = jnp.argmax(w, axis=1)                                # first max
+    onehot = jnp.arange(K, dtype=jnp.int32)[None, :] == slot[:, None]
+    v1 = jnp.max(w, axis=1)
+    v2 = jnp.max(jnp.where(onehot, neg, w), axis=1)
+    # Rows with a single valid entry have no real second-best: use v1 - bigp,
+    # which keeps bids finite *and* strictly increasing on re-bid
+    # (new price = p + (v1 - v2) + eps = p + bigp + eps).
+    v2 = jnp.where(nvalid >= 2, v2, v1 - bigp)
+    a_star = jnp.sum(jnp.where(onehot, vals_t, jnp.zeros_like(vals_t)), axis=1)
+    jstar = jnp.sum(jnp.where(onehot, cols, 0), axis=1).astype(jnp.int32)
+    bid = a_star - v2 + eps                                     # = p* + v1 - v2 + eps
+
+    bidding = (sigma < 0) & (nvalid > 0)
+    tgt = jnp.where(bidding, jstar, jnp.int32(m))               # m => dropped
+    return tgt, bid
+
+
+def resolve_bids(
+    tgt: jax.Array,        # [n_local] int32 in [0, m] (m = no bid)
+    bid: jax.Array,        # [n_local]
+    m: int,
+    row_ids: jax.Array,    # [n_local] int32 *global* row ids
+) -> Tuple[jax.Array, jax.Array]:
+    """Conflict-resolving reduction of bids into per-column (best, winner).
+    Deterministic tie-break: highest bid, then lowest global row id
+    (reference 'ASSIGNMENT' phase, SURVEY.md SS4.1; SS8.2 item 2)."""
+    dtype = bid.dtype
+    neg = neg_sentinel(dtype)
+    best = jnp.full((m,), neg, dtype).at[tgt].max(bid, mode="drop")
+    best_ext = jnp.concatenate([best, jnp.asarray([neg], dtype)])
+    is_best = bid == best_ext[tgt]          # tgt == m gathers neg -> False
+    cand = jnp.where(is_best, row_ids, jnp.int32(_I32_MAX))
+    winner = (
+        jnp.full((m,), _I32_MAX, jnp.int32).at[tgt].min(cand, mode="drop")
+    )
+    return best, winner
+
+
+def commit_bids(
+    best: jax.Array,       # [m] combined best bid per column (or neg)
+    winner: jax.Array,     # [m] combined winning global row id
+    prices: jax.Array,     # [m]
+    owner: jax.Array,      # [m] int32 global row id, -1 free
+    sigma: jax.Array,      # [n_local] int32
+    row_offset,            # python int or traced int32: first local row id
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Apply resolved bids: raise prices, install winners, evict previous
+    owners.  ``sigma`` may be a local shard of rows; winner/owner carry
+    global row ids and are translated through ``row_offset``."""
+    m = prices.shape[0]
+    n_local = sigma.shape[0]
+    neg = neg_sentinel(prices.dtype)
+    has = best > (neg // 2 if jnp.issubdtype(prices.dtype, jnp.integer)
+                  else neg / 2)
+    new_prices = jnp.where(has, best, prices)
+
+    col_idx = jnp.arange(m, dtype=jnp.int32)
+
+    def local_scatter_idx(global_rows, mask):
+        loc = global_rows - jnp.int32(row_offset)
+        ok = mask & (loc >= 0) & (loc < n_local)
+        # n_local is out of bounds => dropped; avoids negative-index wrap.
+        return jnp.where(ok, loc, jnp.int32(n_local))
+
+    evict_idx = local_scatter_idx(owner, has & (owner >= 0))
+    sigma = sigma.at[evict_idx].set(-1, mode="drop")
+    win_idx = local_scatter_idx(winner, has)
+    sigma = sigma.at[win_idx].set(col_idx, mode="drop")
+    new_owner = jnp.where(has, winner, owner)
+    return new_prices, new_owner, sigma
+
+
+def jacobi_round(
+    cols, vals_t, valid, nvalid,
+    prices, owner, sigma, eps, bigp,
+    row_offset=0,
+    combine: Optional[Callable[[jax.Array, jax.Array],
+                               Tuple[jax.Array, jax.Array]]] = None,
+    bid_fn: Optional[Callable] = None,
+):
+    """One full Jacobi auction round.  ``combine`` merges per-shard
+    (best, winner) across devices (identity on a single device; pmax/pmin in
+    parallel/sharded.py; injectable fake in tests per SURVEY.md SS5.2c).
+    ``bid_fn`` lets the Pallas kernel replace the pure-jnp bid computation."""
+    m = prices.shape[0]
+    n_local = sigma.shape[0]
+    row_ids = jnp.int32(row_offset) + jnp.arange(n_local, dtype=jnp.int32)
+    bids = (bid_fn or compute_bids)(
+        cols, vals_t, valid, nvalid, prices, sigma, eps, bigp)
+    tgt, bid = bids
+    best, winner = resolve_bids(tgt, bid, m, row_ids)
+    if combine is not None:
+        best, winner = combine(best, winner)
+    return commit_bids(best, winner, prices, owner, sigma, row_offset)
+
+
+# ---------------------------------------------------------------------------
+# Rectangular (n < m) support: implicit dummy rows.
+#
+# A rectangular LAP is equivalent to the square m x m problem with (m - n)
+# dummy rows connected to *every* column at constant value 0: the dummy part
+# of the objective is constant, so the square optimum restricted to real
+# rows is the rectangular optimum.  Materializing those rows would blow the
+# ELL layout up to dense [m, m]; instead they are handled analytically.
+# All unassigned dummies are interchangeable, so one Jacobi sub-step places
+# them on the u_d cheapest columns at price t + eps, where t is the
+# (u_d+1)-th smallest price.  eps-CS check for each dummy: its value is
+# -(t + eps) and the best alternative is -t (every column cheaper than t was
+# just grabbed), i.e. exactly within eps.  Prices rise by >= eps on every
+# grabbed column, so the standard termination argument is unaffected.
+# Columns held by dummies carry owner == DUMMY_OWNER.
+# ---------------------------------------------------------------------------
+
+DUMMY_OWNER = -2
+
+
+def dummy_grab_step(
+    prices: jax.Array,     # [m]
+    owner: jax.Array,      # [m] int32 (-1 free, -2 dummy, >=0 real row)
+    sigma: jax.Array,      # [n_local] int32
+    eps: jax.Array,
+    n_dummy: int,          # static: m - n
+    row_offset=0,
+):
+    """Place all currently-unassigned implicit dummy rows.  Re-grabbing an
+    already-dummy-held column is a harmless price raise (progress still
+    >= eps per round); real owners of grabbed columns are evicted."""
+    m = prices.shape[0]
+    n_local = sigma.shape[0]
+    held = jnp.sum(owner == DUMMY_OWNER).astype(jnp.int32)
+    u_d = jnp.int32(n_dummy) - held
+    order = jnp.argsort(prices, stable=True)   # ties -> lowest column index
+    rank = (jnp.zeros((m,), jnp.int32)
+            .at[order].set(jnp.arange(m, dtype=jnp.int32)))
+    grab = rank < u_d
+    t = prices[order[jnp.clip(u_d, 0, m - 1)]]
+
+    loc = owner - jnp.int32(row_offset)
+    ok = grab & (owner >= 0) & (loc >= 0) & (loc < n_local)
+    sigma = sigma.at[jnp.where(ok, loc, jnp.int32(n_local))].set(
+        -1, mode="drop")
+    owner = jnp.where(grab, jnp.int32(DUMMY_OWNER), owner)
+    prices = jnp.where(grab, t + eps, prices)
+    return prices, owner, sigma, u_d
+
+
+def count_unassigned_dummies(owner: jax.Array, n_dummy: int) -> jax.Array:
+    held = jnp.sum(owner == DUMMY_OWNER).astype(jnp.int32)
+    return jnp.int32(n_dummy) - held
+
+
+# ---------------------------------------------------------------------------
+# Epsilon-scaled driver (component T5; reference solve loop SURVEY.md SS4.1).
+# ---------------------------------------------------------------------------
+
+
+def _next_eps(eps, theta, eps_min):
+    if jnp.issubdtype(eps.dtype, jnp.integer):
+        return jnp.maximum(eps // theta, eps_min)
+    return jnp.maximum(eps / theta, eps_min)
+
+
+def solve_ell(
+    cols: jax.Array,
+    vals_t: jax.Array,
+    valid: jax.Array,
+    nvalid: jax.Array,
+    p0: jax.Array,
+    eps0: jax.Array,
+    eps_min: jax.Array,
+    theta: jax.Array,
+    max_iter: jax.Array,
+    combine: Optional[Callable] = None,
+    count_unassigned: Optional[Callable] = None,
+    row_offset=0,
+    bid_fn: Optional[Callable] = None,
+    n_global: Optional[int] = None,
+    bigp: Optional[jax.Array] = None,
+) -> SolveResult:
+    """Scaled auction over an ELL block.  Pure and jittable; vmap-able over a
+    leading batch axis (batch.py) and shard_map-able over rows
+    (parallel/sharded.py) via the ``combine`` / ``count_unassigned`` /
+    ``row_offset`` injection points.
+
+    All rows bid every round; assigned rows are masked at commit so every
+    shape is static (SURVEY.md SS8.2 item 1)."""
+    n, K = cols.shape
+    m = p0.shape[0]
+    n_dummy = m - (n_global if n_global is not None else n)  # static
+    dtype = vals_t.dtype
+    neg = neg_sentinel(dtype)
+    pos = -neg
+
+    if bigp is None:
+        # Local reduction; the sharded path passes a globally-reduced bigp in
+        # so every shard sees identical bid arithmetic.
+        vmax = jnp.max(jnp.where(valid, vals_t, neg))
+        vmin = jnp.min(jnp.where(valid, vals_t, pos))
+        one = jnp.asarray(1, dtype)
+        bigp = jnp.maximum(vmax - vmin, jnp.zeros_like(one)) + one
+    else:
+        bigp = jnp.asarray(bigp, dtype)
+
+    eps0 = jnp.maximum(jnp.asarray(eps0, dtype), jnp.asarray(eps_min, dtype))
+    eps_min = jnp.asarray(eps_min, dtype)
+    theta = jnp.asarray(theta, dtype)
+    max_iter = jnp.asarray(max_iter, jnp.int32)
+
+    if count_unassigned is None:
+        def count_unassigned(sigma):  # noqa: F811 - default local reduction
+            return jnp.sum((sigma < 0) & (nvalid > 0)).astype(jnp.int32)
+
+    def round_fn(st: AuctionState) -> AuctionState:
+        prices, owner, sigma = jacobi_round(
+            cols, vals_t, valid, nvalid,
+            st.prices, st.owner, st.sigma, st.eps, bigp,
+            row_offset=row_offset, combine=combine, bid_fn=bid_fn,
+        )
+        if n_dummy > 0:
+            prices, owner, sigma, _ = dummy_grab_step(
+                prices, owner, sigma, st.eps, n_dummy, row_offset=row_offset)
+        return st._replace(prices=prices, owner=owner, sigma=sigma,
+                           rounds=st.rounds + 1)
+
+    def phase_cond(st: AuctionState):
+        left = count_unassigned(st.sigma)
+        if n_dummy > 0:
+            left = left + count_unassigned_dummies(st.owner, n_dummy)
+        return (left > 0) & (st.rounds < max_iter)
+
+    def outer_body(carry):
+        st, _ = carry
+        # Each eps phase restarts the assignment from scratch with warm
+        # prices (textbook eps-scaling; keeps eps-CS valid for the new eps).
+        st = st._replace(
+            sigma=jnp.full_like(st.sigma, -1),
+            owner=jnp.full_like(st.owner, -1),
+        )
+        st = lax.while_loop(phase_cond, round_fn, st)
+        finished = (st.eps <= eps_min) | (st.rounds >= max_iter)
+        st = st._replace(
+            eps=jnp.where(finished, st.eps, _next_eps(st.eps, theta, eps_min)),
+            phases=st.phases + 1,
+        )
+        return st, finished
+
+    def outer_cond(carry):
+        _, finished = carry
+        return jnp.logical_not(finished)
+
+    init = AuctionState(
+        prices=p0.astype(dtype),
+        owner=jnp.full((m,), -1, jnp.int32),
+        sigma=jnp.full((n,), -1, jnp.int32),
+        eps=eps0,
+        rounds=jnp.int32(0),
+        phases=jnp.int32(0),
+    )
+    st, _ = lax.while_loop(outer_cond, outer_body, (init, jnp.bool_(False)))
+    # Rows with no valid entries (genuinely empty, or shard padding) are
+    # excluded here; the API layer re-adds genuinely-empty rows host-side.
+    unassigned = count_unassigned(st.sigma)
+    return SolveResult(
+        sigma=st.sigma, prices=st.prices, rounds=st.rounds,
+        phases=st.phases, final_eps=st.eps, unassigned=unassigned,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transform helpers: min/max objective and integer scaling.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Transform:
+    """How raw costs map to the internal maximization values:
+    ``v = sign * a * scale``.  Integer costs scale by (n+1) so that the final
+    eps = 1 phase yields an exactly optimal assignment."""
+    sign: int
+    scale: int
+
+    def apply(self, vals: jax.Array) -> jax.Array:
+        s = jnp.asarray(self.sign * self.scale, vals.dtype)
+        return vals * s
+
+
+def make_transform(problem: str, size: int, dtype, vmax_abs: float) -> Transform:
+    """``size`` is the effective square dimension (= m: rectangular problems
+    are implicitly square-extended, so the eps-optimality bound is m * eps)."""
+    if problem not in ("min", "max"):
+        raise ValueError(f"problem must be 'min' or 'max', got {problem!r}")
+    sign = 1 if problem == "max" else -1
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.integer):
+        scale = size + 1
+        if vmax_abs * scale >= 2 ** 28:
+            raise ValueError(
+                f"integer costs too large for the exact int32 path: "
+                f"max|cost| * (m+1) = {vmax_abs * scale:.3g} >= 2**28. "
+                f"Use float costs (eps-optimal) or reduce the cost range."
+            )
+        return Transform(sign=sign, scale=scale)
+    return Transform(sign=sign, scale=1)
+
+
+def default_eps_schedule(dtype, vmax_abs: float, size: int, scale: int,
+                         eps_min=None, eps_start=None, theta=5):
+    """(eps0, eps_min, theta) defaults. Integer path: geometric from
+    ~C/2 down to 1 (exact).  Float path: down to 1/(size+1), floored by f32
+    resolution of the cost range so prices keep moving (SURVEY.md SS8.2.3).
+    ``size`` = effective square dimension m (see make_transform)."""
+    dtype = jnp.dtype(dtype)
+    c = float(vmax_abs) * scale
+    if jnp.issubdtype(dtype, jnp.integer):
+        e_min = 1 if eps_min is None else int(eps_min)
+        e0 = int(eps_start) if eps_start is not None else max(int(c / 2), e_min)
+        return e0, e_min, int(theta)
+    if eps_min is None:
+        e_min = max(1.0 / (size + 1), c * 1e-6)
+    else:
+        e_min = float(eps_min)
+    e0 = float(eps_start) if eps_start is not None else max(c / 2.0, e_min)
+    return e0, e_min, float(theta)
+
+
+def default_max_iter(n: int) -> int:
+    # Jacobi rounds, not individual bids; each round retires many rows.
+    return min(50 * n + 2000, 10_000_000)

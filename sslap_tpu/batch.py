@@ -1,0 +1,123 @@
+"""Batched independent LAP instances (T9; BASELINE config 3).
+
+The reference has no batching (SURVEY.md SS1 'what sslap is not'); tracking/
+matching workloads solve many small LAPs per frame, so here the whole
+eps-scaled solve is vmapped over a leading instance axis.  JAX's while_loop
+batching rule keeps iterating until *all* instances converge, masking
+finished lanes -- exactly the semantics we want, with zero bespoke code in
+the solver core.
+
+Instances share one ELL shape [B, n, K]; ingest pads K across the batch
+(``pad_to``).  Use ``batch_from_dense`` / ``batch_from_coo`` to build, or
+stack ELLProblems with ``stack_problems``.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sslap_tpu import auction as _auction
+from sslap_tpu import ingest as _ingest
+from sslap_tpu.ingest import ELLProblem
+
+
+def stack_problems(probs: Sequence[ELLProblem]) -> ELLProblem:
+    """Stack same-shape instances into a batched ELLProblem [B, n, K]."""
+    n, m = probs[0].n, probs[0].m
+    K = max(p.K for p in probs)
+    if any((p.n, p.m) != (n, m) for p in probs):
+        raise ValueError("all instances in a batch must share (n, m)")
+
+    def pad(a, k_axis, fill):
+        a = np.asarray(a)
+        padk = K - a.shape[k_axis]
+        if padk == 0:
+            return a
+        width = [(0, 0)] * a.ndim
+        width[k_axis] = (0, padk)
+        return np.pad(a, width, constant_values=fill)
+
+    cols = np.stack([pad(p.cols, 1, 0) for p in probs])
+    vals = np.stack([pad(p.vals, 1, 0) for p in probs])
+    valid = np.stack([pad(p.valid, 1, False) for p in probs])
+    nvalid = np.stack([np.asarray(p.nvalid) for p in probs])
+    return ELLProblem(cols=jnp.asarray(cols), vals=jnp.asarray(vals),
+                      valid=jnp.asarray(valid), nvalid=jnp.asarray(nvalid),
+                      n=n, m=m)
+
+
+def batch_from_dense(mats: np.ndarray, **kw) -> ELLProblem:
+    mats = np.asarray(mats)
+    if mats.ndim != 3:
+        raise ValueError("expected [B, n, m] stack of dense matrices")
+    K = mats.shape[2]
+    return stack_problems([_ingest.from_dense(m, pad_to=None, **kw)
+                           for m in mats])
+
+
+@functools.partial(jax.jit, static_argnames=("n_global",))
+def _batched_solve_jit(cols, vals_t, valid, nvalid, p0, eps0, eps_min, theta,
+                       max_iter, n_global):
+    solve = functools.partial(_auction.solve_ell, n_global=n_global)
+    return jax.vmap(
+        solve,
+        in_axes=(0, 0, 0, 0, 0, None, None, None, None),
+    )(cols, vals_t, valid, nvalid, p0, eps0, eps_min, theta, max_iter)
+
+
+def auction_solve_batched(
+    prob: ELLProblem,
+    problem: str = "min",
+    eps_start=None,
+    eps_min=None,
+    theta: float = 5.0,
+    max_iter: Optional[int] = None,
+    warm_prices=None,
+):
+    """Solve a batch of independent instances; returns (sols [B, n] numpy,
+    metas list).  Objectives are computed on host exactly (as in api.py)."""
+    cols, vals, valid, nvalid = prob.cols, prob.vals, prob.valid, prob.nvalid
+    if cols.ndim != 3:
+        raise ValueError("expected batched ELLProblem with leading axis")
+    B = cols.shape[0]
+    t0 = time.perf_counter()
+    vals_np = np.asarray(vals)
+    valid_np = np.asarray(valid)
+    vmax_abs = float(np.abs(vals_np[valid_np]).max()) if valid_np.any() else 0.0
+    tr = _auction.make_transform(problem, prob.m, vals_np.dtype, vmax_abs)
+    e0, e_min, theta_v = _auction.default_eps_schedule(
+        vals_np.dtype, vmax_abs, prob.m, tr.scale,
+        eps_min=eps_min, eps_start=eps_start, theta=theta)
+    if max_iter is None:
+        max_iter = _auction.default_max_iter(prob.n)
+    if warm_prices is None:
+        p0 = jnp.zeros((B, prob.m), vals.dtype)
+    else:
+        p0 = jnp.asarray(warm_prices, vals.dtype)
+    res = _batched_solve_jit(cols, tr.apply(vals), valid, nvalid, p0,
+                             e0, e_min, theta_v, max_iter, prob.n)
+    sols = np.asarray(res.sigma)
+    t1 = time.perf_counter()
+    metas = []
+    from sslap_tpu.api import _objective_host
+    for b in range(B):
+        sub = ELLProblem(cols=cols[b], vals=vals[b], valid=valid[b],
+                         nvalid=nvalid[b], n=prob.n, m=prob.m)
+        unassigned = (int(np.asarray(res.unassigned)[b])
+                      + int((np.asarray(nvalid[b]) == 0).sum()))
+        metas.append({
+            "obj": _objective_host(sub, sols[b]) if unassigned == 0 else None,
+            "its": int(np.asarray(res.rounds)[b]),
+            "phases": int(np.asarray(res.phases)[b]),
+            "soln_found": unassigned == 0,
+            "final_eps": float(np.asarray(res.final_eps)[b]) / tr.scale,
+            "unassigned": unassigned,
+            "time": t1 - t0,
+        })
+    return sols, metas

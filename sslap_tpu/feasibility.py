@@ -1,0 +1,158 @@
+"""Hopcroft-Karp maximum bipartite matching (feasibility layer, T6).
+
+The reference exposes a Cython Hopcroft-Karp both standalone and as the
+auction solver's infeasibility pre-check (SURVEY.md SS3a R3, SS4.3).  The
+check is a one-shot pre-pass off the hot loop, so the primary implementation
+here is a host-side one over CSR structure (a native C++ version is loaded
+when available -- sslap_tpu/native); a device-side frontier-BFS formulation
+for very large instances lives in ops/hk_device.py territory (later
+milestone).
+
+Algorithm (SURVEY.md SS4.3): repeat { layered BFS from free rows; DFS along
+the layer graph augmenting vertex-disjoint paths } until no augmenting path;
+O(E * sqrt(V)).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from sslap_tpu.ingest import ELLProblem
+
+_INF = np.int64(2 ** 62)
+
+try:  # optional native fast path (sslap_tpu/native, compiled on demand)
+    from sslap_tpu.native import hopcroft_karp_native as _hk_native
+except Exception:  # pragma: no cover - absence of toolchain
+    _hk_native = None
+
+
+def _ell_to_csr(prob: ELLProblem) -> Tuple[np.ndarray, np.ndarray]:
+    valid = np.asarray(prob.valid)
+    cols = np.asarray(prob.cols)
+    counts = valid.sum(axis=1).astype(np.int64)
+    indptr = np.zeros(prob.n + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    indices = cols[valid].astype(np.int64)
+    return indptr, indices
+
+
+def hopcroft_karp_csr(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    n: int,
+    m: int,
+    use_native: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Maximum matching over a bipartite CSR structure.
+
+    Returns (match_row [n] -> col or -1, match_col [m] -> row or -1, size).
+    Deterministic: rows and adjacency are scanned in index order.
+    """
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    if use_native and _hk_native is not None:
+        return _hk_native(indptr, indices, n, m)
+
+    match_row = np.full(n, -1, np.int64)
+    match_col = np.full(m, -1, np.int64)
+
+    # Greedy seed pass (big constant-factor win, standard HK practice).
+    for u in range(n):
+        for k in range(indptr[u], indptr[u + 1]):
+            v = indices[k]
+            if match_col[v] == -1:
+                match_col[v] = u
+                match_row[u] = v
+                break
+
+    dist = np.empty(n, np.int64)
+    q = np.empty(n, np.int64)
+    it = np.empty(n, np.int64)      # per-row adjacency cursor for DFS
+    stack = np.empty(n + 1, np.int64)
+
+    size = int((match_row >= 0).sum())
+
+    def bfs() -> bool:
+        head = tail = 0
+        found = False
+        for u in range(n):
+            if match_row[u] == -1:
+                dist[u] = 0
+                q[tail] = u
+                tail += 1
+            else:
+                dist[u] = _INF
+        while head < tail:
+            u = q[head]
+            head += 1
+            for k in range(indptr[u], indptr[u + 1]):
+                w = match_col[indices[k]]
+                if w == -1:
+                    found = True
+                elif dist[w] == _INF:
+                    dist[w] = dist[u] + 1
+                    q[tail] = w
+                    tail += 1
+        return found
+
+    def dfs(root: int) -> bool:
+        # Iterative DFS along the layered graph.
+        top = 0
+        stack[0] = root
+        it[root] = indptr[root]
+        while top >= 0:
+            u = stack[top]
+            advanced = False
+            while it[u] < indptr[u + 1]:
+                v = indices[it[u]]
+                it[u] += 1
+                w = match_col[v]
+                if w == -1:
+                    # Augment along the stack.
+                    while top >= 0:
+                        uu = stack[top]
+                        pv = match_row[uu]
+                        match_row[uu] = v
+                        match_col[v] = uu
+                        v = pv
+                        top -= 1
+                    return True
+                if dist[w] == dist[u] + 1:
+                    top += 1
+                    stack[top] = w
+                    it[w] = indptr[w]
+                    advanced = True
+                    break
+            if not advanced:
+                dist[u] = _INF   # dead end; prune for this phase
+                top -= 1
+        return False
+
+    while bfs():
+        for u in range(n):
+            if match_row[u] == -1:
+                if dfs(u):
+                    size += 1
+    return match_row, match_col, size
+
+
+def hopcroft_karp(prob: ELLProblem, use_native: bool = True):
+    """Maximum matching of an ELLProblem's sparsity pattern."""
+    indptr, indices = _ell_to_csr(prob)
+    return hopcroft_karp_csr(indptr, indices, prob.n, prob.m,
+                             use_native=use_native)
+
+
+def is_feasible(prob: ELLProblem, use_native: bool = True) -> bool:
+    """True iff a perfect (all-rows) matching exists -- the auction solver's
+    cardinality pre-check (SURVEY.md SS1 item 5)."""
+    if prob.n == 0:
+        return True
+    nv = np.asarray(prob.nvalid)
+    if (nv == 0).any():
+        return False
+    _, _, size = hopcroft_karp(prob, use_native=use_native)
+    return size == prob.n

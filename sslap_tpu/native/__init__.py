@@ -1,0 +1,22 @@
+"""Native (C++) host-side runtime components.
+
+The reference's native tier is Cython for the hot solve loop; on TPU the
+hot loop lives in XLA/Pallas, so the native tier here covers *host-side*
+work the way the reference's Cython covers ingest/feasibility: COO->ELL
+building and Hopcroft-Karp over CSR.  Compiled on demand with g++ via
+ctypes (no pybind11 in this environment); every consumer falls back to the
+pure numpy implementations when the toolchain is unavailable.
+"""
+
+from sslap_tpu.native.build import load_native
+
+_lib = load_native()
+
+if _lib is not None:
+    from sslap_tpu.native.build import (
+        hopcroft_karp_native,
+        build_ell_native,
+    )
+else:  # toolchain unavailable: numpy fallbacks are used by callers
+    hopcroft_karp_native = None
+    build_ell_native = None

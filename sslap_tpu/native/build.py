@@ -1,0 +1,141 @@
+"""Compile-on-demand ctypes loader for the native C++ components.
+
+No pybind11 in this environment (see repo docs), so the native library uses
+a plain C ABI over numpy buffers.  The shared object is compiled once per
+source hash into a cache directory and memoized.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SRC = Path(__file__).with_name("sslap_native.cpp")
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _cache_dir() -> Path:
+    base = os.environ.get("SSLAP_TPU_CACHE")
+    if base:
+        return Path(base)
+    here = Path(__file__).parent
+    if os.access(here, os.W_OK):
+        return here / "_build"
+    return Path(tempfile.gettempdir()) / "sslap_tpu_native"
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    """Compile (if needed) and load the native library; None on failure."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("SSLAP_TPU_NO_NATIVE"):
+        return None
+    try:
+        src = _SRC.read_bytes()
+        tag = hashlib.sha256(src).hexdigest()[:16]
+        cache = _cache_dir()
+        cache.mkdir(parents=True, exist_ok=True)
+        so = cache / f"sslap_native_{tag}.so"
+        if not so.exists():
+            tmp = so.with_suffix(f".tmp{os.getpid()}.so")
+            cmd = [
+                "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                "-march=native", str(_SRC), "-o", str(tmp),
+            ]
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so)
+        _LIB = ctypes.CDLL(str(so))
+        _declare(_LIB)
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    b8p = ctypes.POINTER(ctypes.c_bool)
+    lib.sslap_hopcroft_karp.restype = ctypes.c_int64
+    lib.sslap_hopcroft_karp.argtypes = [
+        i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p]
+    lib.sslap_coo_prepare.restype = ctypes.c_int64
+    lib.sslap_coo_prepare.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p, i64p]
+    lib.sslap_ell_fill_f32.restype = None
+    lib.sslap_ell_fill_f32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, f32p, i64p, i64p, i32p, f32p, b8p]
+    lib.sslap_ell_fill_i32.restype = None
+    lib.sslap_ell_fill_i32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, i32p, i64p, i64p, i32p, i32p, b8p]
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def hopcroft_karp_native(indptr: np.ndarray, indices: np.ndarray,
+                         n: int, m: int) -> Tuple[np.ndarray, np.ndarray, int]:
+    lib = load_native()
+    assert lib is not None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    match_row = np.empty(n, np.int64)
+    match_col = np.empty(m, np.int64)
+    size = lib.sslap_hopcroft_karp(
+        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int64),
+        n, m, _ptr(match_row, ctypes.c_int64), _ptr(match_col, ctypes.c_int64))
+    return match_row, match_col, int(size)
+
+
+def build_ell_native(rr: np.ndarray, cc: np.ndarray, vv: np.ndarray,
+                     n: int, m: int, dtype: np.dtype,
+                     pad_to: Optional[int] = None):
+    """COO -> (cols[n,K] i32, vals[n,K], valid[n,K] bool, counts[n] i64, K).
+    Returns None if the native library or dtype path is unavailable; raises
+    ValueError on duplicates / out-of-range (mirroring ingest.py)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    dtype = np.dtype(dtype)
+    if dtype == np.float32:
+        fill, ct = lib.sslap_ell_fill_f32, ctypes.c_float
+    elif dtype == np.int32:
+        fill, ct = lib.sslap_ell_fill_i32, ctypes.c_int32
+    else:
+        return None
+    nnz = int(rr.shape[0])
+    rr = np.ascontiguousarray(rr, np.int64)
+    cc = np.ascontiguousarray(cc, np.int64)
+    vv = np.ascontiguousarray(vv, dtype)
+    perm = np.empty(nnz, np.int64)
+    counts = np.empty(n, np.int64)
+    K = lib.sslap_coo_prepare(
+        nnz, n, m, _ptr(rr, ctypes.c_int64), _ptr(cc, ctypes.c_int64),
+        _ptr(perm, ctypes.c_int64), _ptr(counts, ctypes.c_int64))
+    if K == -1:
+        raise ValueError("duplicate (row, col) entries in sparse input")
+    if K == -2:
+        raise ValueError("loc indices out of bounds for given shape")
+    K = max(int(K), int(pad_to or 1), 1)
+    ell_cols = np.empty((n, K), np.int32)
+    ell_vals = np.empty((n, K), dtype)
+    ell_valid = np.empty((n, K), bool)
+    fill(nnz, n, K,
+         _ptr(rr, ctypes.c_int64), _ptr(cc, ctypes.c_int64), _ptr(vv, ct),
+         _ptr(perm, ctypes.c_int64), _ptr(counts, ctypes.c_int64),
+         _ptr(ell_cols, ctypes.c_int32), _ptr(ell_vals, ct),
+         _ptr(ell_valid, ctypes.c_bool))
+    return ell_cols, ell_vals, ell_valid, counts, K

@@ -1,0 +1,19 @@
+"""Distribution layer (T2/T7/T8): row-partitioned auction over device meshes.
+
+The reference is single-process (SURVEY.md SS6 'Distributed communication
+backend: Absent'); this subpackage is the TPU-native scaling design -- a
+shard_map'd Jacobi round over a row-sharded ELL layout with replicated
+price/assignment state and per-round pmax/pmin combines over ICI/DCN.
+"""
+
+from sslap_tpu.parallel.mesh import make_mesh, initialize_multihost
+from sslap_tpu.parallel.partition import pad_rows_for_mesh
+from sslap_tpu.parallel.sharded import auction_solve_sharded, sharded_solve_ell
+
+__all__ = [
+    "make_mesh",
+    "initialize_multihost",
+    "pad_rows_for_mesh",
+    "auction_solve_sharded",
+    "sharded_solve_ell",
+]

@@ -1,0 +1,55 @@
+"""Batched solve tests (T9; BASELINE config 3 shape): vmapped batch equals
+per-instance solves."""
+
+import numpy as np
+import pytest
+
+from sslap_tpu import auction_solve, ingest
+from sslap_tpu.batch import auction_solve_batched, batch_from_dense, stack_problems
+from tests.utils import random_sparse_instance, scipy_dense_objective
+
+
+def test_batched_dense_matches_single():
+    rng = np.random.default_rng(0)
+    B, n, m = 6, 24, 24
+    mats = rng.integers(0, 100, (B, n, m))
+    prob = batch_from_dense(mats)
+    sols, metas = auction_solve_batched(prob)
+    for b in range(B):
+        single = auction_solve(mats[b])
+        assert metas[b]["soln_found"]
+        assert metas[b]["obj"] == single["meta"]["obj"]
+        assert metas[b]["obj"] == scipy_dense_objective(mats[b])
+
+
+def test_batched_sparse_mixed_difficulty():
+    """Instances converging at different round counts in one batch."""
+    rng = np.random.default_rng(1)
+    n, m = 32, 32
+    probs, oracles = [], []
+    for b in range(4):
+        loc, val, dense = random_sparse_instance(rng, n, m, 0.1 + 0.1 * b)
+        probs.append(ingest.from_coo(loc, val, shape=(n, m)))
+        oracles.append(auction_solve(loc=loc, val=val, shape=(n, m))["meta"]["obj"])
+    batched = stack_problems(probs)
+    sols, metas = auction_solve_batched(batched)
+    for b in range(4):
+        assert metas[b]["obj"] == oracles[b]
+
+
+def test_batched_max_problem():
+    rng = np.random.default_rng(2)
+    B, n, m = 3, 16, 20
+    mats = rng.integers(0, 50, (B, n, m))
+    prob = batch_from_dense(mats)
+    sols, metas = auction_solve_batched(prob, problem="max")
+    for b in range(B):
+        oracle = scipy_dense_objective(mats[b], maximize=True)
+        assert metas[b]["obj"] == oracle
+
+
+def test_stack_shape_mismatch_raises():
+    a = ingest.from_dense(np.ones((2, 2)))
+    b = ingest.from_dense(np.ones((3, 3)))
+    with pytest.raises(ValueError, match="share"):
+        stack_problems([a, b])
