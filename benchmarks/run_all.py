@@ -1,0 +1,207 @@
+"""Benchmark harness (T12): the five BASELINE.md configs.
+
+Usage:
+    python benchmarks/run_all.py --config 1 [--small]
+    python benchmarks/run_all.py --all
+
+Each config prints a JSON line with timing + throughput counters.  Config 5
+(10M x 10M multi-host) runs functionally on whatever mesh exists (8-device
+virtual CPU mesh here; a real pod slice when available) and reports scaling
+diagnostics rather than pod numbers in this single-chip environment.
+
+Speed-of-light calibration (BASELINE.md): --sol measures a pure streaming
+pass over the same ELL layout to bound achievable nnz/s.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_sparse(n, m, nnz_per_row, seed=0, integer=False, low=1, high=1000):
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n, dtype=np.int64), nnz_per_row - 1)
+    cols = rng.integers(0, m, rows.shape[0], dtype=np.int64)
+    perm = rng.permutation(m)[:n].astype(np.int64)
+    rr = np.concatenate([rows, np.arange(n, dtype=np.int64)])
+    cc = np.concatenate([cols, perm])
+    key = rr * m + cc
+    _, idx = np.unique(key, return_index=True)
+    rr, cc = rr[idx], cc[idx]
+    if integer:
+        vv = rng.integers(low, high, rr.shape[0])
+    else:
+        vv = (rng.random(rr.shape[0]) * (high - low) + low).astype(np.float32)
+    return np.stack([rr, cc], 1), vv
+
+
+def _timed_solve(loc, val, n, m, **kw):
+    from sslap_tpu import auction_solve
+    t0 = time.perf_counter()
+    res = auction_solve(loc=loc, val=val, shape=(n, m), **kw)
+    dt = time.perf_counter() - t0
+    return res, dt
+
+
+def config1(small=False):
+    """1k x 1k, 1% density, integer costs; oracle-checked vs scipy."""
+    n = m = 1000
+    loc, val = make_sparse(n, m, max(int(0.01 * m), 2), seed=1, integer=True)
+    res, dt = _timed_solve(loc, val, n, m)          # includes compile
+    res2, dt2 = _timed_solve(loc, val, n, m)        # cached
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import min_weight_full_bipartite_matching
+    sp = csr_matrix((val.astype(float), (loc[:, 0], loc[:, 1])), shape=(n, m))
+    t0 = time.perf_counter()
+    r, c = min_weight_full_bipartite_matching(sp)
+    scipy_t = time.perf_counter() - t0
+    assert res["meta"]["obj"] == int(sp[r, c].sum()), "objective != optimal"
+    return {"config": 1, "n": n, "nnz": len(val), "time": dt2,
+            "rounds": res2["meta"]["its"], "scipy_time": scipy_t,
+            "speedup_vs_scipy": scipy_t / dt2, "exact": True}
+
+
+def config2(small=False):
+    """10k x 10k sparse with eps-scaling + infeasibility detection path."""
+    n = m = 2000 if small else 10_000
+    loc, val = make_sparse(n, m, 12, seed=2, integer=True, high=10_000)
+    # feasible solve WITH the Hopcroft-Karp pre-check on
+    t0 = time.perf_counter()
+    from sslap_tpu import auction_solve, InfeasibleError
+    res = auction_solve(loc=loc, val=val, shape=(n, m),
+                        cardinality_check=True)
+    dt = time.perf_counter() - t0
+    # Infeasible variant must be detected, not hang: confine rows 0 and 1
+    # to the single shared column m-1.
+    keep = ~np.isin(loc[:, 0], [0, 1])
+    loc_bad = np.concatenate(
+        [loc[keep], [[0, m - 1], [1, m - 1]]]).astype(np.int64)
+    val_bad = np.concatenate([val[keep], [1, 1]])
+    detected = False
+    t1 = time.perf_counter()
+    try:
+        auction_solve(loc=loc_bad, val=val_bad, shape=(n, m),
+                      cardinality_check=True)
+    except (InfeasibleError, ValueError):
+        detected = True
+    hk_t = time.perf_counter() - t1
+    return {"config": 2, "n": n, "nnz": len(val), "time": dt,
+            "rounds": res["meta"]["its"], "hk_detect_time": hk_t,
+            "infeasible_detected": detected,
+            "soln_found": res["meta"]["soln_found"]}
+
+
+def config3(small=False):
+    """Batched independent LAPs (vmapped auction)."""
+    from sslap_tpu import ingest
+    from sslap_tpu.batch import auction_solve_batched, stack_problems
+    B = 8 if small else 256
+    n = m = 256 if small else 4096
+    density_nnz = 16 if small else 48
+    probs = []
+    for b in range(B):
+        loc, val = make_sparse(n, m, density_nnz, seed=100 + b)
+        probs.append(ingest.from_coo(loc, val, shape=(n, m),
+                                     pad_to=density_nnz + 4))
+    batched = stack_problems(probs)
+    t0 = time.perf_counter()
+    sols, metas = auction_solve_batched(batched)   # includes compile
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sols, metas = auction_solve_batched(batched)
+    dt = time.perf_counter() - t0
+    found = sum(mt["soln_found"] for mt in metas)
+    return {"config": 3, "B": B, "n": n, "time": dt, "warm_time": warm,
+            "instances_per_s": B / dt, "all_found": found == B}
+
+
+def config4(small=False):
+    """1M x 1M ~10 nnz/row float: primary nnz/s measurement (bench.py is
+    the canonical runner; this reuses its logic)."""
+    sys.path.insert(0, ".")
+    import bench
+    n = 50_000 if small else 1_000_000
+    nnz_per_s, solve_time, rounds = bench.bench_tpu(n=n, k_extra=9)
+    return {"config": 4, "n": n, "nnz_per_s": nnz_per_s,
+            "time": solve_time, "rounds": rounds}
+
+
+def config5(small=False):
+    """Row-partitioned multi-device solve.  On this single-chip env it runs
+    the sharded path on the available mesh (functional + relative scaling
+    only); on a pod it measures true multi-host scaling."""
+    import jax
+    from sslap_tpu.parallel import auction_solve_sharded, make_mesh
+    n = m = 20_000 if small else 200_000
+    loc, val = make_sparse(n, m, 10, seed=5)
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    t0 = time.perf_counter()
+    res = auction_solve_sharded(loc=loc, val=val, shape=(n, m), mesh=mesh,
+                                cardinality_check=False)
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = auction_solve_sharded(loc=loc, val=val, shape=(n, m), mesh=mesh,
+                                cardinality_check=False)
+    dt = time.perf_counter() - t0
+    return {"config": 5, "n": n, "devices": n_dev, "time": dt,
+            "rounds": res["meta"]["its"],
+            "soln_found": res["meta"]["soln_found"],
+            "note": "single-host functional run; pod scaling needs >=2 hosts"}
+
+
+def sol_calibration(small=False):
+    """Speed-of-light: stream the config-4 ELL layout once (cols+vals read,
+    row-max written) and report achieved bytes/s (BASELINE.md calibration)."""
+    import jax
+    import jax.numpy as jnp
+    n = 100_000 if small else 1_000_000
+    K = 16
+    rng = np.random.default_rng(0)
+    cols = jnp.asarray(rng.integers(0, n, (n, K), dtype=np.int32))
+    vals = jnp.asarray(rng.random((n, K), dtype=np.float32))
+
+    @jax.jit
+    def stream(cols, vals):
+        return jnp.max(vals, axis=1), jnp.max(cols, axis=1)
+
+    stream(cols, vals)[0].block_until_ready()
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        a, b = stream(cols, vals)
+    a.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    bytes_moved = n * K * 8  # cols i32 + vals f32 read
+    return {"config": "sol", "bytes_per_s": bytes_moved / dt,
+            "nnz_per_s_upper_bound": n * K / dt, "time": dt}
+
+
+CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4,
+           "5": config5, "sol": sol_calibration}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=list(CONFIGS), default=None)
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+    keys = list(CONFIGS) if args.all else [args.config or "1"]
+    for k in keys:
+        out = CONFIGS[k](small=args.small)
+        print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

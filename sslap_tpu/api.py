@@ -98,6 +98,7 @@ class AuctionSolver:
         cardinality_check: bool = True,
         dtype=None,
         pad_to: Optional[int] = None,
+        mode: str = "auto",
     ):
         self.problem_spec = _ingest_any(mat=mat, loc=loc, val=val, shape=shape,
                                         dtype=dtype, pad_to=pad_to)
@@ -109,6 +110,9 @@ class AuctionSolver:
         self.theta = theta
         self.max_iter = max_iter
         self.cardinality_check = cardinality_check
+        if mode not in ("auto", "device", "hybrid", "cpu"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.mode = mode
         self.prices: Optional[np.ndarray] = None
         self.meta: Optional[dict] = None
 
@@ -131,6 +135,17 @@ class AuctionSolver:
             p0 = jnp.asarray(warm_prices, prob.vals.dtype)
         return tr, e0, e_min, theta, max_iter, p0
 
+    def _resolve_mode(self) -> str:
+        if self.mode != "auto":
+            return self.mode
+        from sslap_tpu import hybrid as _hybrid
+        # The device Jacobi path owns small/medium instances; for large ones
+        # the serial eviction-chain tail makes the hybrid device+host path
+        # strictly faster (see hybrid.py docstring).
+        if _hybrid.native_available() and self.problem_spec.n >= 20_000:
+            return "hybrid"
+        return "device"
+
     def solve(self, warm_prices=None) -> AuctionSolution:
         prob = self.problem_spec
         t0 = time.perf_counter()
@@ -139,6 +154,23 @@ class AuctionSolver:
                 "no perfect matching exists for this sparsity pattern "
                 "(detected by Hopcroft-Karp cardinality check; pass "
                 "cardinality_check=False to attempt anyway)")
+        mode = self._resolve_mode()
+        if mode in ("hybrid", "cpu"):
+            from sslap_tpu import hybrid as _hybrid
+            n_empty = int((np.asarray(prob.nvalid) == 0).sum())
+            sol, prices, hmeta = _hybrid.solve_hybrid(
+                prob, problem=self.problem, eps_start=self.eps_start,
+                eps_min=self.eps_min, theta=self.theta,
+                max_iter=self.max_iter, mode=mode, warm_prices=warm_prices)
+            unassigned = hmeta["unassigned"] + n_empty
+            soln_found = unassigned == 0
+            self.prices = prices
+            self.meta = dict(hmeta, unassigned=unassigned,
+                             soln_found=soln_found,
+                             obj=(_objective_host(prob, sol)
+                                  if soln_found else None),
+                             time=time.perf_counter() - t0)
+            return AuctionSolution(sol=sol, meta=self.meta)
         tr, e0, e_min, theta, max_iter, p0 = self._prepare(warm_prices)
         vals_t = tr.apply(prob.vals)
         res = _solve_jit(prob.cols, vals_t, prob.valid, prob.nvalid, p0,
@@ -159,6 +191,7 @@ class AuctionSolver:
             "final_eps": (float(np.asarray(res.final_eps)) / tr.scale),
             "unassigned": unassigned,
             "time": t1 - t0,
+            "mode": "device",
         }
         return AuctionSolution(sol=sol, meta=self.meta)
 
@@ -186,6 +219,7 @@ def auction_solve(
     max_iter: Optional[int] = None,
     cardinality_check: bool = True,
     dtype=None,
+    mode: str = "auto",
 ) -> AuctionSolution:
     """Solve a (sparse) linear assignment problem with the auction algorithm.
 
@@ -200,6 +234,9 @@ def auction_solve(
       cardinality_check: run the Hopcroft-Karp feasibility pre-check and
         raise InfeasibleError if no perfect matching exists.
       dtype: force on-device dtype (int32 = exact, float32 = eps-optimal).
+      mode: 'auto' (default), 'device' (pure jitted Jacobi), 'hybrid'
+        (device bulk + native host tail, fastest for large single
+        instances), or 'cpu' (pure native Gauss-Seidel reference).
 
     Returns:
       AuctionSolution with 'sol' (int array, row -> col, -1 if unassigned)
@@ -209,7 +246,7 @@ def auction_solve(
     solver = AuctionSolver(
         mat, loc=loc, val=val, shape=shape, problem=problem,
         eps_start=eps_start, eps_min=eps_min, theta=theta, max_iter=max_iter,
-        cardinality_check=cardinality_check, dtype=dtype)
+        cardinality_check=cardinality_check, dtype=dtype, mode=mode)
     return solver.solve()
 
 

@@ -276,6 +276,7 @@ def solve_ell(
     bid_fn: Optional[Callable] = None,
     n_global: Optional[int] = None,
     bigp: Optional[jax.Array] = None,
+    on_round: Optional[Callable] = None,
 ) -> SolveResult:
     """Scaled auction over an ELL block.  Pure and jittable; vmap-able over a
     leading batch axis (batch.py) and shard_map-able over rows
@@ -319,8 +320,15 @@ def solve_ell(
         if n_dummy > 0:
             prices, owner, sigma, _ = dummy_grab_step(
                 prices, owner, sigma, st.eps, n_dummy, row_offset=row_offset)
-        return st._replace(prices=prices, owner=owner, sigma=sigma,
-                           rounds=st.rounds + 1)
+        st = st._replace(prices=prices, owner=owner, sigma=sigma,
+                         rounds=st.rounds + 1)
+        if on_round is not None:
+            # Opt-in observability (SURVEY.md SS6 'Metrics / logging'):
+            # host callback with (round, unassigned, eps) -- adds a host
+            # sync, so off by default.
+            jax.debug.callback(on_round, st.rounds,
+                               count_unassigned(st.sigma), st.eps)
+        return st
 
     def phase_cond(st: AuctionState):
         left = count_unassigned(st.sigma)

@@ -1,0 +1,194 @@
+"""Hybrid TPU+host auction solve (performance path for single large
+instances).
+
+Why this exists: the Jacobi auction retires most rows in a handful of wide
+rounds, but the tail of every eps phase is *serial eviction chains* --
+measured at ~2-4n one-row rounds on random sparse instances -- and a TPU
+round that touches one row still costs a full loop iteration.  The
+TPU-native design therefore splits each eps phase:
+
+  device (jitted while_loop): Jacobi rounds while > ``threshold`` rows are
+      active -- each round retires many rows at full VPU width;
+  host (native C++ Gauss-Seidel, sslap_native.cpp): finishes the remaining
+      serial chains at ~ns/bid over the same transformed CSR values with
+      identical bid semantics, preserving eps-CS across the handoff.
+
+State shuttled per phase is only (prices [m], sigma [n], owner [m]).
+
+``mode='cpu'`` skips the device entirely: a pure native Gauss-Seidel
+eps-scaled solve -- the sslap-class CPU reference used by bench.py as the
+vs-baseline.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sslap_tpu import auction as _auction
+from sslap_tpu.ingest import ELLProblem
+
+try:
+    from sslap_tpu.native import auction_gs as _gs
+except Exception:  # pragma: no cover
+    _gs = None
+
+
+def native_available() -> bool:
+    return _gs is not None
+
+
+def ell_to_csr_transformed(prob: ELLProblem, sign: int, scale: int
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host CSR of transformed (maximization) values, matching the device's
+    ``Transform.apply`` arithmetic exactly (same dtype)."""
+    valid = np.asarray(prob.valid)
+    cols = np.asarray(prob.cols)
+    vals = np.asarray(prob.vals)
+    counts = valid.sum(axis=1).astype(np.int64)
+    indptr = np.zeros(prob.n + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    indices = cols[valid].astype(np.int32)
+    data = (vals[valid] * np.asarray(sign * scale, vals.dtype)).astype(
+        vals.dtype)
+    return indptr, indices, data
+
+
+@functools.partial(jax.jit, static_argnames=("n_dummy",))
+def _device_phase(cols, vals_t, valid, nvalid, prices, owner, sigma,
+                  eps, bigp, threshold, max_rounds, n_dummy):
+    """Jacobi rounds at fixed eps until <= threshold active rows remain (or
+    everything is assigned / round budget spent)."""
+    eps = jnp.asarray(eps, vals_t.dtype)
+    bigp = jnp.asarray(bigp, vals_t.dtype)
+
+    def active(sigma, owner):
+        a = jnp.sum((sigma < 0) & (nvalid > 0)).astype(jnp.int32)
+        if n_dummy > 0:
+            a = a + _auction.count_unassigned_dummies(owner, n_dummy)
+        return a
+
+    def cond(carry):
+        prices, owner, sigma, rounds = carry
+        return (active(sigma, owner) > threshold) & (rounds < max_rounds)
+
+    def body(carry):
+        prices, owner, sigma, rounds = carry
+        prices, owner, sigma = _auction.jacobi_round(
+            cols, vals_t, valid, nvalid, prices, owner, sigma, eps, bigp)
+        if n_dummy > 0:
+            prices, owner, sigma, _ = _auction.dummy_grab_step(
+                prices, owner, sigma, eps, n_dummy)
+        return prices, owner, sigma, rounds + 1
+
+    prices, owner, sigma, rounds = lax.while_loop(
+        cond, body, (prices, owner, sigma, jnp.int32(0)))
+    return prices, owner, sigma, rounds, active(sigma, owner)
+
+
+def solve_hybrid(
+    prob: ELLProblem,
+    *,
+    problem: str = "min",
+    eps_start=None,
+    eps_min=None,
+    theta: float = 5.0,
+    max_iter: Optional[int] = None,
+    threshold: int = 4096,
+    mode: str = "hybrid",            # 'hybrid' | 'cpu'
+    warm_prices=None,
+    n_real: Optional[int] = None,
+):
+    """eps-scaled solve with device bulk + host tail (or pure host).
+
+    Returns (sigma [n] numpy int32, prices numpy, meta dict with device
+    'its' rounds and 'host_bids')."""
+    assert _gs is not None, "native auction unavailable (no toolchain?)"
+    n, m = prob.n, prob.m
+    n_real = n if n_real is None else n_real
+    n_dummy = m - n_real
+    vals_np = np.asarray(prob.vals)
+    valid_np = np.asarray(prob.valid)
+    dtype = vals_np.dtype
+    vmax_abs = float(np.abs(vals_np[valid_np]).max()) if valid_np.any() else 0.0
+    tr = _auction.make_transform(problem, m, dtype, vmax_abs)
+    e0, e_min, theta_v = _auction.default_eps_schedule(
+        dtype, vmax_abs, m, tr.scale,
+        eps_min=eps_min, eps_start=eps_start, theta=theta)
+    if max_iter is None:
+        max_iter = _auction.default_max_iter(n)
+
+    indptr, indices, data = ell_to_csr_transformed(prob, tr.sign, tr.scale)
+    if valid_np.any():
+        tmax, tmin = data.max(), data.min()
+        bigp = (tmax - tmin) + (1 if np.issubdtype(dtype, np.integer) else 1.0)
+    else:
+        bigp = 1
+    is_int = np.issubdtype(dtype, np.integer)
+
+    prices = np.zeros(m, dtype) if warm_prices is None else \
+        np.array(warm_prices, dtype)
+    sigma = np.full(n, -1, np.int32)
+    owner = np.full(m, -1, np.int32)
+
+    use_device = mode == "hybrid"
+    if use_device:
+        vals_t = tr.apply(prob.vals)
+        d_prices = jnp.asarray(prices)
+
+    eps = max(e0, e_min)
+    total_rounds = 0
+    total_bids = 0
+    phases = 0
+    t0 = time.perf_counter()
+    host_budget = 50 * n + 100_000  # bids per phase safety valve
+
+    while True:
+        sigma[:] = -1
+        owner[:] = -1
+        if use_device:
+            d_sigma = jnp.asarray(sigma)
+            d_owner = jnp.asarray(owner)
+            d_prices, d_owner, d_sigma, rounds, _ = _device_phase(
+                prob.cols, vals_t, prob.valid, prob.nvalid,
+                d_prices, d_owner, d_sigma, eps, bigp,
+                jnp.int32(threshold),
+                jnp.int32(max(max_iter - total_rounds, 0)), n_dummy)
+            total_rounds += int(rounds)
+            prices = np.array(d_prices)      # host copies for the GS tail
+            sigma = np.array(d_sigma)
+            owner = np.array(d_owner)
+        bids = _gs(indptr, indices, data, prices, sigma, owner,
+                   eps, bigp, n_dummy, host_budget)
+        if bids < 0:
+            break  # bid budget exhausted: likely infeasible
+        total_bids += bids
+        phases += 1
+        if eps <= e_min or total_rounds >= max_iter:
+            break
+        if use_device:
+            d_prices = jnp.asarray(prices)
+        eps = max(eps // theta_v, e_min) if is_int else max(eps / theta_v,
+                                                            e_min)
+
+    unassigned = int(((sigma < 0) &
+                      (np.diff(indptr) > 0)).sum())
+    if n_dummy > 0:
+        unassigned += n_dummy - int((owner == -2).sum())
+    meta = {
+        "its": total_rounds,
+        "host_bids": total_bids,
+        "phases": phases,
+        "final_eps": float(eps) / tr.scale,
+        "unassigned": unassigned,
+        "soln_found": unassigned == 0 and int((sigma[:n_real] < 0).sum()) == 0,
+        "time": time.perf_counter() - t0,
+        "mode": mode,
+    }
+    return sigma, prices, meta

@@ -14,9 +14,11 @@ _lib = load_native()
 
 if _lib is not None:
     from sslap_tpu.native.build import (
-        hopcroft_karp_native,
+        auction_gs,
         build_ell_native,
+        hopcroft_karp_native,
     )
 else:  # toolchain unavailable: numpy fallbacks are used by callers
     hopcroft_karp_native = None
     build_ell_native = None
+    auction_gs = None

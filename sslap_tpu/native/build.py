@@ -80,6 +80,16 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.sslap_ell_fill_i32.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         i64p, i64p, i32p, i64p, i64p, i32p, i32p, b8p]
+    lib.sslap_auction_gs_f32.restype = ctypes.c_int64
+    lib.sslap_auction_gs_f32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i32p, f32p,
+        f32p, i32p, i32p, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int64, ctypes.c_int64]
+    lib.sslap_auction_gs_i32.restype = ctypes.c_int64
+    lib.sslap_auction_gs_i32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p,
+        i32p, i32p, i32p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64]
 
 
 def _ptr(arr: np.ndarray, ctype):
@@ -98,6 +108,36 @@ def hopcroft_karp_native(indptr: np.ndarray, indices: np.ndarray,
         _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int64),
         n, m, _ptr(match_row, ctypes.c_int64), _ptr(match_col, ctypes.c_int64))
     return match_row, match_col, int(size)
+
+
+def auction_gs(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
+               prices: np.ndarray, sigma: np.ndarray, owner: np.ndarray,
+               eps, bigp, n_dummy_total: int, max_bids: int) -> int:
+    """Run the native Gauss-Seidel auction in place over CSR (transformed
+    maximization values).  ``prices``/``sigma``/``owner`` are modified.
+    Returns bids performed, or -1 if max_bids was exhausted."""
+    lib = load_native()
+    assert lib is not None, "native library unavailable"
+    n = sigma.shape[0]
+    m = prices.shape[0]
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    assert sigma.dtype == np.int32 and owner.dtype == np.int32
+    assert sigma.flags.c_contiguous and owner.flags.c_contiguous
+    assert prices.flags.c_contiguous and vals.flags.c_contiguous
+    if prices.dtype == np.float32:
+        fn, ct = lib.sslap_auction_gs_f32, ctypes.c_float
+        assert vals.dtype == np.float32
+    elif prices.dtype == np.int32:
+        fn, ct = lib.sslap_auction_gs_i32, ctypes.c_int32
+        assert vals.dtype == np.int32
+    else:
+        raise TypeError(f"unsupported dtype {prices.dtype}")
+    return int(fn(
+        n, m, _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        _ptr(vals, ct), _ptr(prices, ct), _ptr(sigma, ctypes.c_int32),
+        _ptr(owner, ctypes.c_int32), ct(eps), ct(bigp),
+        int(n_dummy_total), int(max_bids)))
 
 
 def build_ell_native(rr: np.ndarray, cc: np.ndarray, vv: np.ndarray,

@@ -190,3 +190,134 @@ void sslap_ell_fill_i32(int64_t nnz, int64_t n, int64_t K,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Gauss-Seidel forward auction over CSR (transformed maximization values).
+//
+// Used two ways (SURVEY.md SS8 + hybrid design):
+//   1. Tail finisher for the TPU Jacobi solver: the device retires the
+//      massively-parallel bulk of each eps phase; the serial eviction
+//      chains that remain (O(n) Jacobi rounds' worth) are finished here in
+//      O(chain) bids.  Bid semantics match the device exactly (lowest-col
+//      argmax tie-break, v2 = v1 - bigp for single-entry rows, implicit
+//      dummy rows for rectangular problems) so eps-CS is preserved across
+//      the handoff.
+//   2. Standalone CPU solver (sslap-class reference for benchmarking).
+//
+// State arrays are modified in place.  owner: -1 free, -2 dummy-held,
+// >= 0 real row.  Returns the number of bids performed, or -1 if max_bids
+// was exhausted (possible infeasibility; caller decides).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename T>
+int64_t auction_gs(int64_t n, int64_t m, const int64_t* indptr,
+                   const int32_t* indices, const T* vals, T* prices,
+                   int32_t* sigma, int32_t* owner, T eps, T bigp,
+                   int64_t n_dummy_total, int64_t max_bids) {
+  // FIFO queue of unassigned real rows; dummies tracked by a counter
+  // (interchangeable).  Capacity n + 1 suffices: every real row appears at
+  // most once (it is either queued, assigned, or being processed).
+  std::vector<int32_t> queue(n + 1);
+  int64_t head = 0, tail = 0;
+  auto push = [&](int32_t u) {
+    queue[tail] = u;
+    tail = (tail + 1) % (n + 1);
+  };
+  int64_t dummy_pending = n_dummy_total;
+  for (int64_t j = 0; j < m; ++j) {
+    if (owner[j] == -2) --dummy_pending;
+  }
+  for (int64_t u = 0; u < n; ++u) {
+    if (sigma[u] < 0 && indptr[u + 1] > indptr[u]) push((int32_t)u);
+  }
+
+  auto evict = [&](int64_t j) {
+    int32_t w = owner[j];
+    if (w >= 0) {
+      sigma[w] = -1;
+      push(w);
+    } else if (w == -2) {
+      ++dummy_pending;
+    }
+  };
+
+  int64_t bids = 0;
+  while ((head != tail || dummy_pending > 0)) {
+    if (bids >= max_bids) return -1;
+    ++bids;
+    if (head != tail) {
+      int32_t u = queue[head];
+      head = (head + 1) % (n + 1);
+      if (sigma[u] >= 0) continue;  // stale entry (shouldn't happen)
+      // top-2 of a_uj - p_j; ties -> lowest column index (scan order).
+      int64_t lo = indptr[u], hi = indptr[u + 1];
+      T v1 = T(0), v2 = T(0);
+      int64_t kbest = -1;
+      bool has1 = false, has2 = false;
+      for (int64_t k = lo; k < hi; ++k) {
+        T w = vals[k] - prices[indices[k]];
+        if (!has1 || w > v1) {
+          if (has1) { v2 = v1; has2 = true; }
+          v1 = w;
+          kbest = k;
+          has1 = true;
+        } else if (!has2 || w > v2) {
+          v2 = w;
+          has2 = true;
+        }
+      }
+      if (!has1) continue;  // no valid entries: permanently unassignable
+      if (!has2) v2 = v1 - bigp;
+      int64_t jstar = indices[kbest];
+      T bid = vals[kbest] - v2 + eps;
+      evict(jstar);
+      prices[jstar] = bid;
+      owner[jstar] = u;
+      sigma[u] = (int32_t)jstar;
+    } else {
+      // Dummy bid: value 0 on every column -> top-2 of -p_j == two smallest
+      // prices (ties -> lowest index).
+      int64_t j1 = -1, j2 = -1;
+      for (int64_t j = 0; j < m; ++j) {
+        if (j1 < 0 || prices[j] < prices[j1]) {
+          j2 = j1;
+          j1 = j;
+        } else if (j2 < 0 || prices[j] < prices[j2]) {
+          j2 = j;
+        }
+      }
+      T p2 = (j2 >= 0) ? prices[j2] : prices[j1] + bigp;
+      evict(j1);
+      prices[j1] = p2 + eps;
+      owner[j1] = -2;
+      --dummy_pending;
+    }
+  }
+  return bids;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t sslap_auction_gs_f32(int64_t n, int64_t m, const int64_t* indptr,
+                             const int32_t* indices, const float* vals,
+                             float* prices, int32_t* sigma, int32_t* owner,
+                             float eps, float bigp, int64_t n_dummy_total,
+                             int64_t max_bids) {
+  return auction_gs<float>(n, m, indptr, indices, vals, prices, sigma, owner,
+                           eps, bigp, n_dummy_total, max_bids);
+}
+
+int64_t sslap_auction_gs_i32(int64_t n, int64_t m, const int64_t* indptr,
+                             const int32_t* indices, const int32_t* vals,
+                             int32_t* prices, int32_t* sigma, int32_t* owner,
+                             int32_t eps, int32_t bigp, int64_t n_dummy_total,
+                             int64_t max_bids) {
+  return auction_gs<int32_t>(n, m, indptr, indices, vals, prices, sigma,
+                             owner, eps, bigp, n_dummy_total, max_bids);
+}
+
+}  // extern "C"

@@ -1,0 +1,84 @@
+"""Hybrid (device bulk + native host tail) and pure-CPU mode tests: both
+must reach the same optimum as the pure device path and the scipy oracle."""
+
+import numpy as np
+import pytest
+
+from sslap_tpu import auction_solve
+from sslap_tpu.hybrid import native_available
+from tests.utils import (
+    random_sparse_instance,
+    scipy_dense_objective,
+    scipy_sparse_objective,
+)
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native toolchain unavailable")
+
+
+@pytest.mark.parametrize("mode", ["cpu", "hybrid"])
+@pytest.mark.parametrize("problem", ["min", "max"])
+def test_modes_dense_int_exact(mode, problem):
+    rng = np.random.default_rng(0)
+    C = rng.integers(0, 100, (48, 48))
+    res = auction_solve(C, problem=problem, mode=mode)
+    assert res["meta"]["obj"] == scipy_dense_objective(
+        C, maximize=problem == "max")
+    assert res["meta"]["mode"] == mode
+
+
+@pytest.mark.parametrize("mode", ["cpu", "hybrid"])
+def test_modes_sparse_int_exact(mode):
+    rng = np.random.default_rng(1)
+    n = m = 200
+    loc, val, _ = random_sparse_instance(rng, n, m, 0.05)
+    res = auction_solve(loc=loc, val=val, shape=(n, m), mode=mode)
+    assert res["meta"]["obj"] == scipy_sparse_objective(loc, val, n, m)
+
+
+@pytest.mark.parametrize("mode", ["cpu", "hybrid"])
+def test_modes_rectangular(mode):
+    rng = np.random.default_rng(2)
+    n, m = 40, 70
+    loc, val, _ = random_sparse_instance(rng, n, m, 0.2)
+    res = auction_solve(loc=loc, val=val, shape=(n, m), mode=mode)
+    assert res["meta"]["obj"] == scipy_sparse_objective(loc, val, n, m)
+    assert (res["sol"] >= 0).all() and len(np.unique(res["sol"])) == n
+
+
+@pytest.mark.parametrize("mode", ["cpu", "hybrid"])
+def test_modes_float_tolerance(mode):
+    rng = np.random.default_rng(3)
+    n = m = 64
+    loc, val, _ = random_sparse_instance(rng, n, m, 0.15, integer=False)
+    res = auction_solve(loc=loc, val=val, shape=(n, m), mode=mode)
+    oracle = scipy_sparse_objective(loc, val, n, m)
+    tol = (m + 1) * res["meta"]["final_eps"] + 1e-3
+    assert abs(res["meta"]["obj"] - oracle) <= tol
+
+
+def test_modes_agree_with_device():
+    rng = np.random.default_rng(4)
+    C = rng.integers(0, 1000, (64, 64))
+    objs = {mode: auction_solve(C, mode=mode)["meta"]["obj"]
+            for mode in ("device", "hybrid", "cpu")}
+    assert objs["device"] == objs["hybrid"] == objs["cpu"]
+
+
+def test_cpu_mode_forbidden_and_infeasible():
+    from sslap_tpu import InfeasibleError
+    C = np.array([[5.0, -1.0], [7.0, -1.0]])
+    with pytest.raises(InfeasibleError):
+        auction_solve(C, mode="cpu")
+    res = auction_solve(C, mode="cpu", cardinality_check=False)
+    assert not res["meta"]["soln_found"]
+
+
+def test_cpu_warm_start():
+    rng = np.random.default_rng(5)
+    from sslap_tpu import AuctionSolver
+    C = rng.integers(0, 100, (32, 32))
+    s = AuctionSolver(C, mode="cpu")
+    a = s.solve()
+    b = s.solve(warm_prices=s.prices)
+    assert a["meta"]["obj"] == b["meta"]["obj"]
