@@ -99,6 +99,7 @@ class AuctionSolver:
         dtype=None,
         pad_to: Optional[int] = None,
         mode: str = "auto",
+        keep_assignment: bool = True,
     ):
         self.problem_spec = _ingest_any(mat=mat, loc=loc, val=val, shape=shape,
                                         dtype=dtype, pad_to=pad_to)
@@ -113,6 +114,7 @@ class AuctionSolver:
         if mode not in ("auto", "device", "hybrid", "cpu"):
             raise ValueError(f"unknown mode {mode!r}")
         self.mode = mode
+        self.keep_assignment = keep_assignment
         self.prices: Optional[np.ndarray] = None
         self.meta: Optional[dict] = None
 
@@ -161,7 +163,8 @@ class AuctionSolver:
             sol, prices, hmeta = _hybrid.solve_hybrid(
                 prob, problem=self.problem, eps_start=self.eps_start,
                 eps_min=self.eps_min, theta=self.theta,
-                max_iter=self.max_iter, mode=mode, warm_prices=warm_prices)
+                max_iter=self.max_iter, mode=mode, warm_prices=warm_prices,
+                keep_assignment=self.keep_assignment)
             unassigned = hmeta["unassigned"] + n_empty
             soln_found = unassigned == 0
             self.prices = prices
@@ -173,8 +176,17 @@ class AuctionSolver:
             return AuctionSolution(sol=sol, meta=self.meta)
         tr, e0, e_min, theta, max_iter, p0 = self._prepare(warm_prices)
         vals_t = tr.apply(prob.vals)
-        res = _solve_jit(prob.cols, vals_t, prob.valid, prob.nvalid, p0,
-                         e0, e_min, theta, max_iter)
+        if prob.n == prob.m:
+            # Square problems take the tiered active-compaction driver
+            # (compact.py): round cost scales with the live active set
+            # instead of O(n*K).
+            res = _solve_tiered_jit(prob.cols, vals_t, prob.valid,
+                                    prob.nvalid, p0, e0, e_min, theta,
+                                    max_iter)
+        else:
+            res = _solve_jit(prob.cols, vals_t, prob.valid, prob.nvalid, p0,
+                             e0, e_min, theta, max_iter,
+                             keep_assignment=self.keep_assignment)
         sol = np.asarray(res.sigma)
         t1 = time.perf_counter()
         # solve_ell's count excludes rows with no valid entries; they are
@@ -199,11 +211,20 @@ class AuctionSolver:
 import functools
 
 
-@functools.partial(jax.jit, donate_argnums=())
+@functools.partial(jax.jit, static_argnames=("keep_assignment",))
 def _solve_jit(cols, vals_t, valid, nvalid, p0, eps0, eps_min, theta,
-               max_iter):
+               max_iter, keep_assignment=True):
     return _auction.solve_ell(cols, vals_t, valid, nvalid, p0,
-                              eps0, eps_min, theta, max_iter)
+                              eps0, eps_min, theta, max_iter,
+                              keep_assignment=keep_assignment)
+
+
+@jax.jit
+def _solve_tiered_jit(cols, vals_t, valid, nvalid, p0, eps0, eps_min, theta,
+                      max_iter):
+    from sslap_tpu import compact as _compact
+    return _compact.solve_ell_tiered(cols, vals_t, valid, nvalid, p0,
+                                     eps0, eps_min, theta, max_iter)
 
 
 def auction_solve(
@@ -220,6 +241,7 @@ def auction_solve(
     cardinality_check: bool = True,
     dtype=None,
     mode: str = "auto",
+    keep_assignment: bool = True,
 ) -> AuctionSolution:
     """Solve a (sparse) linear assignment problem with the auction algorithm.
 
@@ -246,7 +268,8 @@ def auction_solve(
     solver = AuctionSolver(
         mat, loc=loc, val=val, shape=shape, problem=problem,
         eps_start=eps_start, eps_min=eps_min, theta=theta, max_iter=max_iter,
-        cardinality_check=cardinality_check, dtype=dtype, mode=mode)
+        cardinality_check=cardinality_check, dtype=dtype, mode=mode,
+        keep_assignment=keep_assignment)
     return solver.solve()
 
 

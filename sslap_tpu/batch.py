@@ -47,8 +47,7 @@ def stack_problems(probs: Sequence[ELLProblem]) -> ELLProblem:
     vals = np.stack([pad(p.vals, 1, 0) for p in probs])
     valid = np.stack([pad(p.valid, 1, False) for p in probs])
     nvalid = np.stack([np.asarray(p.nvalid) for p in probs])
-    return ELLProblem(cols=jnp.asarray(cols), vals=jnp.asarray(vals),
-                      valid=jnp.asarray(valid), nvalid=jnp.asarray(nvalid),
+    return ELLProblem(cols=cols, vals=vals, valid=valid, nvalid=nvalid,
                       n=n, m=m)
 
 

@@ -1,0 +1,334 @@
+"""Tiered active-row-compacted auction solve (single-device fast path).
+
+Why: the plain Jacobi round (auction.py) bids for *all* n rows every round
+to keep shapes static, so a round costs O(n*K) HBM traffic + gathers even
+when 3 rows are active -- and the tail of every eps phase is serial
+eviction chains with tiny active sets (SURVEY.md SS8.2 item 1 solved the
+shape problem but not the cost problem).  Measured on 1M x 1M / 10 nnz-per-
+row, full rounds cost ~120 ms each (XLA's TPU gather is ~7 ns/element) and
+~500 of them dominate the solve.
+
+Design: keep the active (unassigned, biddable) row ids in a compacted
+buffer of *static tier capacity* C, and run rounds whose cost is O(C):
+
+  gather   rows' ELL slices  cols[ids] / vals[ids]      (fast slice gather)
+  bid      top-2 over K per active row                  (VPU)
+  resolve  scatter-max per column + min-row tie-break   (C-sized scatters)
+  commit   scatter-only price/owner/sigma updates       (C-sized, unique)
+  relist   new actives = (bidders that lost) + (evicted previous owners)
+           -- both <= C, merged and re-sorted in compact space; the active
+           set never grows within a phase, so tiers only step *down*.
+
+Tiers (C = n -> ... -> 1024) are separate while_loops inside one jit, so
+the whole eps-scaled solve is a single device execution with zero host
+round-trips (this environment's TPU tunnel costs ~32 ms per sync).
+
+Each eps phase opens with one full-width round that doubles as the
+eps-CS violator scan (warm-started scaling, auction.py:unassign_violators
+semantics): assigned rows whose pair violates eps-CS for the new eps are
+unassigned and bid again in that same round, reusing the same w values.
+
+Scope: square effective problems (n == m handled natively; rectangular
+n < m falls back to auction.solve_ell's implicit-dummy path in api.py).
+Deterministic tie-breaks identical to auction.py: rows pick the lowest
+column index among maxima (ELL columns are sorted), columns pick the
+lowest row id among max bids.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sslap_tpu import auction as _auction
+from sslap_tpu.auction import neg_sentinel
+
+_I32_MAX = 2 ** 31 - 1
+
+
+class TieredState(NamedTuple):
+    prices: jax.Array   # [m]
+    owner: jax.Array    # [m] int32, -1 free
+    sigma: jax.Array    # [n] int32, -1 free
+    eps: jax.Array      # scalar
+    rounds: jax.Array   # int32
+    phases: jax.Array   # int32
+
+
+def default_tiers(n: int) -> Tuple[int, ...]:
+    """Static tier capacities, descending.  The top tier is always n (the
+    phase-start / bulk rounds); lower tiers shrink the per-round cost as the
+    active set collapses into eviction chains."""
+    tiers = [n]
+    for c in (262144, 32768, 4096, 512):
+        if c < n:
+            tiers.append(c)
+    return tuple(tiers)
+
+
+def _merge_active(stay: jax.Array, evicted: jax.Array, C: int, n: int):
+    """Merge two <= C-sized id lists (pad = n) into an ascending compacted
+    list of capacity C.  Disjointness: ``stay`` are rows still unassigned
+    after losing a bid; ``evicted`` were assigned before this round."""
+    cand = jnp.concatenate([stay, evicted])
+    cand = lax.sort(cand)
+    return cand[:C]
+
+
+def compact_round(
+    cols, vals_t, valid, nvalid,   # ELL problem data ([n, K] etc.)
+    prices, owner, sigma,
+    ids, eps, bigp,
+    *,
+    phase_start: bool = False,
+):
+    """One auction round over the compacted active set ``ids`` (pad = n).
+
+    With ``phase_start`` the round also performs the warm-started eps-CS
+    violator scan: assigned rows in ``ids`` whose pair violates eps-CS at
+    the (new) eps are unassigned here and bid immediately.  Otherwise all
+    ids are unassigned rows by invariant.
+
+    Returns (prices, owner, sigma, new_ids, n_won, n_evicted).
+    """
+    n, K = cols.shape
+    m = prices.shape[0]
+    C = ids.shape[0]
+    dtype = vals_t.dtype
+    neg = neg_sentinel(dtype)
+
+    live = ids < n
+    # clip-mode gathers (not where+gather): sidesteps an XLA TPU compiler
+    # CHECK-failure ("cycle detected" in while-loop analysis) triggered by
+    # select feeding gather inside nested while bodies.
+    colsC = cols.at[ids].get(mode="clip")       # [C, K] slice gather
+    valsC = vals_t.at[ids].get(mode="clip")
+    validC = valid.at[ids].get(mode="clip") & live[:, None]
+    nvC = jnp.where(live, nvalid.at[ids].get(mode="clip"), 0)
+
+    w = jnp.where(validC, valsC - prices[colsC], neg)     # [C, K]
+    slot = jnp.argmax(w, axis=1)
+    onehot = jnp.arange(K, dtype=jnp.int32)[None, :] == slot[:, None]
+    v1 = jnp.max(w, axis=1)
+    v2 = jnp.max(jnp.where(onehot, neg, w), axis=1)
+    v2 = jnp.where(nvC >= 2, v2, v1 - bigp)
+    a_star = jnp.sum(jnp.where(onehot, valsC, jnp.zeros_like(valsC)), axis=1)
+    jstar = jnp.sum(jnp.where(onehot, colsC, 0), axis=1).astype(jnp.int32)
+    bid = a_star - v2 + eps
+
+    if phase_start:
+        sigC = jnp.where(live, sigma.at[ids].get(mode="clip"), -1)
+        cur_hit = (colsC == sigC[:, None]) & validC
+        cur = jnp.sum(jnp.where(cur_hit, w, jnp.zeros_like(w)), axis=1)
+        viol = (sigC >= 0) & (cur < v1 - eps)
+        # Free violators' columns; they re-bid in this very round.
+        owner = owner.at[jnp.where(viol, sigC, m)].set(-1, mode="drop")
+        sigma = sigma.at[jnp.where(viol, ids, n)].set(-1, mode="drop")
+        unassigned = sigC < 0
+        bidding = live & (nvC > 0) & (unassigned | viol)
+    else:
+        bidding = live & (nvC > 0)
+
+    tgt = jnp.where(bidding, jstar, jnp.int32(m))          # m = no bid
+
+    # Resolve: per-column max bid, ties -> lowest row id.
+    best = jnp.full((m,), neg, dtype).at[tgt].max(bid, mode="drop")
+    best_ext = jnp.concatenate([best, jnp.asarray([neg], dtype)])
+    is_best = bid == best_ext[tgt]                         # tgt=m -> False
+    cand = jnp.where(is_best, ids, jnp.int32(_I32_MAX))
+    winner = (jnp.full((m,), _I32_MAX, jnp.int32)
+              .at[tgt].min(cand, mode="drop"))
+    winner_ext = jnp.concatenate([winner, jnp.asarray([_I32_MAX], jnp.int32)])
+    won = is_best & (winner_ext[tgt] == ids)
+
+    # Commit by scatter only (won columns are unique: one winner each).
+    tgt_won = jnp.where(won, tgt, jnp.int32(m))
+    prev_owner = jnp.where(won, owner.at[tgt].get(mode="clip"), -1)
+    prices = prices.at[tgt_won].set(jnp.where(won, bid, prices[0]),
+                                    mode="drop")
+    owner = owner.at[tgt_won].set(ids, mode="drop")
+    sigma = sigma.at[jnp.where(won, ids, n)].set(tgt, mode="drop")
+    evicted = jnp.where(prev_owner >= 0, prev_owner, jnp.int32(n))
+    sigma = sigma.at[evicted].set(-1, mode="drop")
+
+    stay = jnp.where(bidding & jnp.logical_not(won), ids, jnp.int32(n))
+    if phase_start:
+        # Rows that were already unassigned but had no valid entries stay
+        # out; rows assigned and non-violating stay out.  Bidders that lost
+        # plus evicted owners re-enter, exactly as in steady state.
+        pass
+    new_ids = _merge_active(stay, evicted, C, n)
+    n_won = jnp.sum(won).astype(jnp.int32)
+    n_evicted = jnp.sum(prev_owner >= 0).astype(jnp.int32)
+    return prices, owner, sigma, new_ids, n_won, n_evicted
+
+
+def tier_ladder(
+    cols, vals_t, valid, nvalid,
+    prices, owner, sigma, ids, active, rounds, eps,
+    *,
+    bigp,
+    tiers: Tuple[int, ...],
+    threshold: int = 0,
+    max_iter,
+):
+    """Descend the tier ladder at fixed eps: compact rounds at capacity C
+    while ``active`` exceeds max(next tier, threshold); stop once active
+    <= threshold (0 = run to completion).  ``ids`` must be an ascending
+    compacted id buffer (capacity tiers[0]) for the slicing between tiers
+    to be valid.  Returns (prices, owner, sigma, active, rounds)."""
+    n = sigma.shape[0]
+    carry = (prices, owner, sigma, ids, active, rounds, eps)
+    for ti, C in enumerate(tiers):
+        floor = max(tiers[ti + 1] if ti + 1 < len(tiers) else 0, threshold)
+
+        def cond(c, floor=floor):
+            _, _, _, _, act, rnd, _ = c
+            return (act > floor) & (rnd < max_iter)
+
+        def body(c):
+            prices, owner, sigma, ids, act, rnd, eps = c
+            prices, owner, sigma, ids, n_won, n_evi = compact_round(
+                cols, vals_t, valid, nvalid, prices, owner, sigma,
+                ids, eps, bigp)
+            act = act - n_won + n_evi
+            return (prices, owner, sigma, ids, act, rnd + 1, eps)
+
+        if C != tiers[0]:
+            # Re-compact the id buffer down to this tier's capacity.
+            # Valid ids are the ascending prefix (pad = n sorts last).
+            prices, owner, sigma, ids, act, rnd, eps = carry
+            ids = ids[:C]
+            carry = (prices, owner, sigma, ids, act, rnd, eps)
+        if floor >= C:
+            continue  # this tier is entirely below the stop threshold
+        carry = lax.while_loop(cond, body, carry)
+    prices, owner, sigma, ids, active, rounds, eps = carry
+    return prices, owner, sigma, active, rounds
+
+
+def device_phase_tiered(
+    cols, vals_t, valid, nvalid,
+    prices, owner, sigma, eps, bigp,
+    *,
+    threshold: int,
+    max_rounds,
+    tiers: Optional[Tuple[int, ...]] = None,
+):
+    """Fixed-eps device phase for the hybrid driver (hybrid.py): one
+    full-width round over the currently-unassigned rows, then tier descent
+    until <= threshold rows remain active (the host GS finishes the serial
+    eviction chains).  Square problems only (no implicit dummies)."""
+    n, K = cols.shape
+    if tiers is None:
+        tiers = default_tiers(n)
+    eps = jnp.asarray(eps, vals_t.dtype)
+    bigp = jnp.asarray(bigp, vals_t.dtype)
+    all_rows = jnp.arange(n, dtype=jnp.int32)
+    ids_full = jnp.where((sigma < 0) & (nvalid > 0), all_rows, jnp.int32(n))
+    prices, owner, sigma, ids, n_won, n_evi = compact_round(
+        cols, vals_t, valid, nvalid, prices, owner, sigma, ids_full, eps,
+        bigp)
+    active = jnp.sum(ids < n).astype(jnp.int32)
+    prices, owner, sigma, active, rounds = tier_ladder(
+        cols, vals_t, valid, nvalid,
+        prices, owner, sigma, ids, active, jnp.int32(1), eps,
+        bigp=bigp, tiers=tiers, threshold=threshold, max_iter=max_rounds)
+    return prices, owner, sigma, rounds, active
+
+
+def solve_ell_tiered(
+    cols: jax.Array,
+    vals_t: jax.Array,
+    valid: jax.Array,
+    nvalid: jax.Array,
+    p0: jax.Array,
+    eps0,
+    eps_min,
+    theta,
+    max_iter,
+    tiers: Optional[Tuple[int, ...]] = None,
+    bigp=None,
+) -> _auction.SolveResult:
+    """eps-scaled tiered-compaction solve for square effective problems
+    (no implicit dummies).  Same result contract as auction.solve_ell."""
+    n, K = cols.shape
+    m = p0.shape[0]
+    dtype = vals_t.dtype
+    neg = neg_sentinel(dtype)
+    pos = -neg
+    if tiers is None:
+        tiers = default_tiers(n)
+    assert tiers[0] == n, "top tier must cover all rows"
+
+    if bigp is None:
+        vmax = jnp.max(jnp.where(valid, vals_t, neg))
+        vmin = jnp.min(jnp.where(valid, vals_t, pos))
+        one = jnp.asarray(1, dtype)
+        bigp = jnp.maximum(vmax - vmin, jnp.zeros_like(one)) + one
+    else:
+        bigp = jnp.asarray(bigp, dtype)
+
+    eps0 = jnp.maximum(jnp.asarray(eps0, dtype), jnp.asarray(eps_min, dtype))
+    eps_min = jnp.asarray(eps_min, dtype)
+    theta = jnp.asarray(theta, dtype)
+    max_iter = jnp.asarray(max_iter, jnp.int32)
+    all_rows = jnp.arange(n, dtype=jnp.int32)
+
+    def count_active(ids):
+        return jnp.sum(ids < n).astype(jnp.int32)
+
+    def run_phase(st: TieredState, first: bool) -> TieredState:
+        prices, owner, sigma = st.prices, st.owner, st.sigma
+        # Phase-start full-width round: violator scan + first bids fused.
+        ids_full = jnp.where((sigma < 0) & (nvalid > 0) | (sigma >= 0),
+                             all_rows, jnp.int32(n))
+        if first:
+            # Everything unassigned; restrict to biddable rows.
+            ids_full = jnp.where(nvalid > 0, all_rows, jnp.int32(n))
+        prices, owner, sigma, ids, n_won, n_evi = compact_round(
+            cols, vals_t, valid, nvalid, prices, owner, sigma,
+            ids_full, st.eps, bigp, phase_start=not first)
+        rounds = st.rounds + 1
+        active = count_active(ids)
+
+        prices, owner, sigma, active, rounds = tier_ladder(
+            cols, vals_t, valid, nvalid,
+            prices, owner, sigma, ids, active, rounds, st.eps,
+            bigp=bigp, tiers=tiers, threshold=0, max_iter=max_iter)
+        return st._replace(prices=prices, owner=owner, sigma=sigma,
+                           rounds=rounds, phases=st.phases + 1)
+
+    # First phase (everything unassigned), then eps-descent phases.
+    init = TieredState(
+        prices=p0.astype(dtype),
+        owner=jnp.full((m,), -1, jnp.int32),
+        sigma=jnp.full((n,), -1, jnp.int32),
+        eps=eps0,
+        rounds=jnp.int32(0),
+        phases=jnp.int32(0),
+    )
+    st = run_phase(init, first=True)
+
+    def outer_cond(carry):
+        st, done = carry
+        return jnp.logical_not(done)
+
+    def outer_body(carry):
+        st, _ = carry
+        new_eps = _auction._next_eps(st.eps, theta, eps_min)
+        st = run_phase(st._replace(eps=new_eps), first=False)
+        done = (st.eps <= eps_min) | (st.rounds >= max_iter)
+        return st, done
+
+    done0 = (st.eps <= eps_min) | (st.rounds >= max_iter)
+    st, _ = lax.while_loop(outer_cond, outer_body, (st, done0))
+
+    unassigned = jnp.sum((st.sigma < 0) & (nvalid > 0)).astype(jnp.int32)
+    return _auction.SolveResult(
+        sigma=st.sigma, prices=st.prices, rounds=st.rounds,
+        phases=st.phases, final_eps=st.eps, unassigned=unassigned,
+    )

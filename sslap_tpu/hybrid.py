@@ -36,8 +36,10 @@ from sslap_tpu.ingest import ELLProblem
 
 try:
     from sslap_tpu.native import auction_gs as _gs
+    from sslap_tpu.native import unassign_violators_native as _unassign
 except Exception:  # pragma: no cover
     _gs = None
+    _unassign = None
 
 
 def native_available() -> bool:
@@ -58,6 +60,18 @@ def ell_to_csr_transformed(prob: ELLProblem, sign: int, scale: int
     data = (vals[valid] * np.asarray(sign * scale, vals.dtype)).astype(
         vals.dtype)
     return indptr, indices, data
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def _device_phase_tiered(cols, vals_t, valid, nvalid, prices, owner, sigma,
+                         eps, bigp, threshold, max_rounds):
+    """Square-problem device phase: tiered active-compaction rounds
+    (compact.py) down to ``threshold`` active rows.  Round cost scales with
+    the live active set instead of O(n*K)."""
+    from sslap_tpu import compact as _compact
+    return _compact.device_phase_tiered(
+        cols, vals_t, valid, nvalid, prices, owner, sigma, eps, bigp,
+        threshold=threshold, max_rounds=max_rounds)
 
 
 @functools.partial(jax.jit, static_argnames=("n_dummy",))
@@ -104,6 +118,7 @@ def solve_hybrid(
     mode: str = "hybrid",            # 'hybrid' | 'cpu'
     warm_prices=None,
     n_real: Optional[int] = None,
+    keep_assignment: bool = True,
 ):
     """eps-scaled solve with device bulk + host tail (or pure host).
 
@@ -149,17 +164,33 @@ def solve_hybrid(
     t0 = time.perf_counter()
     host_budget = 50 * n + 100_000  # bids per phase safety valve
 
+    first_phase = True
     while True:
-        sigma[:] = -1
-        owner[:] = -1
+        if not first_phase and keep_assignment:
+            # Warm-started eps-scaling: keep the previous phase's assignment
+            # except eps-CS violators for the new eps (matches the device
+            # path's auction.py:unassign_violators; measured 3-10x fewer
+            # total bids than the reference-style full reset).
+            _unassign(indptr, indices, data, prices, sigma, owner, eps,
+                      n_dummy)
+        elif not first_phase:
+            sigma[:] = -1
+            owner[:] = -1
+        first_phase = False
         if use_device:
             d_sigma = jnp.asarray(sigma)
             d_owner = jnp.asarray(owner)
-            d_prices, d_owner, d_sigma, rounds, _ = _device_phase(
-                prob.cols, vals_t, prob.valid, prob.nvalid,
-                d_prices, d_owner, d_sigma, eps, bigp,
-                jnp.int32(threshold),
-                jnp.int32(max(max_iter - total_rounds, 0)), n_dummy)
+            if n_dummy == 0:
+                d_prices, d_owner, d_sigma, rounds, _ = _device_phase_tiered(
+                    prob.cols, vals_t, prob.valid, prob.nvalid,
+                    d_prices, d_owner, d_sigma, eps, bigp, int(threshold),
+                    jnp.int32(max(max_iter - total_rounds, 0)))
+            else:
+                d_prices, d_owner, d_sigma, rounds, _ = _device_phase(
+                    prob.cols, vals_t, prob.valid, prob.nvalid,
+                    d_prices, d_owner, d_sigma, eps, bigp,
+                    jnp.int32(threshold),
+                    jnp.int32(max(max_iter - total_rounds, 0)), n_dummy)
             total_rounds += int(rounds)
             prices = np.array(d_prices)      # host copies for the GS tail
             sigma = np.array(d_sigma)

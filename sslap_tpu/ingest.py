@@ -36,7 +36,14 @@ def _native_builder():
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class ELLProblem:
-    """A LAP instance in padded-ELL device layout.
+    """A LAP instance in padded-ELL layout.
+
+    Arrays are kept HOST-side (numpy) after ingest: this environment's TPU
+    tunnel makes device->host readback pathologically slow (measured up to
+    ~seconds per MB under load), and host-side consumers (feasibility, CSR
+    conversion, exact objective) would otherwise round-trip every array.
+    Device solve paths pass the pytree into jit, which performs the single
+    host->device transfer.
 
     Attributes:
       cols:   int32 [n, K]  column index of each stored entry; padding = 0
@@ -63,7 +70,7 @@ class ELLProblem:
 
     @property
     def nnz(self) -> int:
-        return int(np.asarray(jnp.sum(self.nvalid)))
+        return int(np.asarray(self.nvalid).sum())
 
     def tree_flatten(self):
         return (self.cols, self.vals, self.valid, self.nvalid), (self.n, self.m)
@@ -100,10 +107,10 @@ def _build_ell_from_coo(
     if nnz == 0:
         K = max(pad_to or 1, 1)
         return ELLProblem(
-            cols=jnp.zeros((n, K), jnp.int32),
-            vals=jnp.zeros((n, K), dtype),
-            valid=jnp.zeros((n, K), bool),
-            nvalid=jnp.zeros((n,), jnp.int32),
+            cols=np.zeros((n, K), np.int32),
+            vals=np.zeros((n, K), dtype),
+            valid=np.zeros((n, K), bool),
+            nvalid=np.zeros((n,), np.int32),
             n=n,
             m=m,
         )
@@ -114,9 +121,8 @@ def _build_ell_from_coo(
         if built is not None:
             cols, vals, valid, counts, _ = built
             return ELLProblem(
-                cols=jnp.asarray(cols), vals=jnp.asarray(vals),
-                valid=jnp.asarray(valid),
-                nvalid=jnp.asarray(counts.astype(np.int32)), n=n, m=m,
+                cols=cols, vals=vals, valid=valid,
+                nvalid=counts.astype(np.int32), n=n, m=m,
             )
     # Numpy fallback path.
     # Sort by (row, col): within-row ascending columns give the deterministic
@@ -141,10 +147,10 @@ def _build_ell_from_coo(
     vals[rr, slot] = vv.astype(dtype)
     valid[rr, slot] = True
     return ELLProblem(
-        cols=jnp.asarray(cols),
-        vals=jnp.asarray(vals),
-        valid=jnp.asarray(valid),
-        nvalid=jnp.asarray(counts.astype(np.int32)),
+        cols=cols,
+        vals=vals,
+        valid=valid,
+        nvalid=counts.astype(np.int32),
         n=n,
         m=m,
     )

@@ -17,8 +17,10 @@ if _lib is not None:
         auction_gs,
         build_ell_native,
         hopcroft_karp_native,
+        unassign_violators_native,
     )
 else:  # toolchain unavailable: numpy fallbacks are used by callers
     hopcroft_karp_native = None
     build_ell_native = None
     auction_gs = None
+    unassign_violators_native = None

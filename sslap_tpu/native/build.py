@@ -90,6 +90,14 @@ def _declare(lib: ctypes.CDLL) -> None:
         ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p,
         i32p, i32p, i32p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int64]
+    lib.sslap_unassign_violators_f32.restype = None
+    lib.sslap_unassign_violators_f32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i32p, f32p,
+        f32p, i32p, i32p, ctypes.c_float, ctypes.c_int64]
+    lib.sslap_unassign_violators_i32.restype = None
+    lib.sslap_unassign_violators_i32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p,
+        i32p, i32p, i32p, ctypes.c_int32, ctypes.c_int64]
 
 
 def _ptr(arr: np.ndarray, ctype):
@@ -138,6 +146,29 @@ def auction_gs(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
         _ptr(vals, ct), _ptr(prices, ct), _ptr(sigma, ctypes.c_int32),
         _ptr(owner, ctypes.c_int32), ct(eps), ct(bigp),
         int(n_dummy_total), int(max_bids)))
+
+
+def unassign_violators_native(indptr: np.ndarray, indices: np.ndarray,
+                              vals: np.ndarray, prices: np.ndarray,
+                              sigma: np.ndarray, owner: np.ndarray,
+                              eps, n_dummy_total: int) -> None:
+    """In-place warm-started eps-scaling step: free only eps-CS violators
+    (host mirror of auction.py:unassign_violators)."""
+    lib = load_native()
+    assert lib is not None, "native library unavailable"
+    n = sigma.shape[0]
+    m = prices.shape[0]
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    if prices.dtype == np.float32:
+        fn, ct = lib.sslap_unassign_violators_f32, ctypes.c_float
+    elif prices.dtype == np.int32:
+        fn, ct = lib.sslap_unassign_violators_i32, ctypes.c_int32
+    else:
+        raise TypeError(f"unsupported dtype {prices.dtype}")
+    fn(n, m, _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+       _ptr(vals, ct), _ptr(prices, ct), _ptr(sigma, ctypes.c_int32),
+       _ptr(owner, ctypes.c_int32), ct(eps), int(n_dummy_total))
 
 
 def build_ell_native(rr: np.ndarray, cc: np.ndarray, vv: np.ndarray,

@@ -298,9 +298,59 @@ int64_t auction_gs(int64_t n, int64_t m, const int64_t* indptr,
   return bids;
 }
 
+// Warm-started eps-scaling: unassign only the pairs violating eps-CS for
+// the new (smaller) eps.  Mirrors auction.py:unassign_violators exactly so
+// device and host phases interoperate in the hybrid path.
+template <typename T>
+void unassign_violators(int64_t n, int64_t m, const int64_t* indptr,
+                        const int32_t* indices, const T* vals, T* prices,
+                        int32_t* sigma, int32_t* owner, T eps,
+                        int64_t n_dummy_total) {
+  for (int64_t u = 0; u < n; ++u) {
+    int32_t j_cur = sigma[u];
+    if (j_cur < 0) continue;
+    T v1 = T(0), cur = T(0);
+    bool has1 = false;
+    for (int64_t k = indptr[u]; k < indptr[u + 1]; ++k) {
+      T w = vals[k] - prices[indices[k]];
+      if (!has1 || w > v1) { v1 = w; has1 = true; }
+      if (indices[k] == j_cur) cur = w;
+    }
+    if (has1 && cur < v1 - eps) {
+      owner[j_cur] = -1;
+      sigma[u] = -1;
+    }
+  }
+  if (n_dummy_total > 0) {
+    T minp = prices[0];
+    for (int64_t j = 1; j < m; ++j) minp = std::min(minp, prices[j]);
+    for (int64_t j = 0; j < m; ++j) {
+      if (owner[j] == -2 && prices[j] > minp + eps) owner[j] = -1;
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+void sslap_unassign_violators_f32(int64_t n, int64_t m, const int64_t* indptr,
+                                  const int32_t* indices, const float* vals,
+                                  float* prices, int32_t* sigma,
+                                  int32_t* owner, float eps,
+                                  int64_t n_dummy_total) {
+  unassign_violators<float>(n, m, indptr, indices, vals, prices, sigma, owner,
+                            eps, n_dummy_total);
+}
+
+void sslap_unassign_violators_i32(int64_t n, int64_t m, const int64_t* indptr,
+                                  const int32_t* indices, const int32_t* vals,
+                                  int32_t* prices, int32_t* sigma,
+                                  int32_t* owner, int32_t eps,
+                                  int64_t n_dummy_total) {
+  unassign_violators<int32_t>(n, m, indptr, indices, vals, prices, sigma,
+                              owner, eps, n_dummy_total);
+}
 
 int64_t sslap_auction_gs_f32(int64_t n, int64_t m, const int64_t* indptr,
                              const int32_t* indices, const float* vals,

@@ -26,10 +26,10 @@ def pad_rows_for_mesh(prob: ELLProblem, n_shards: int) -> ELLProblem:
         return np.pad(a, width, constant_values=fill)
 
     return ELLProblem(
-        cols=jnp.asarray(pad0(prob.cols, 0)),
-        vals=jnp.asarray(pad0(prob.vals, 0)),
-        valid=jnp.asarray(pad0(prob.valid, False)),
-        nvalid=jnp.asarray(pad0(prob.nvalid, 0)),
+        cols=pad0(prob.cols, 0),
+        vals=pad0(prob.vals, 0),
+        valid=pad0(prob.valid, False),
+        nvalid=pad0(prob.nvalid, 0),
         n=n + n_pad,
         m=prob.m,
     )

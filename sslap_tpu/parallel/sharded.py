@@ -92,6 +92,10 @@ def sharded_solve_ell(
             row_offset=row_offset,
             n_global=n_real,
             bigp=bigp,
+            # Warm-started phases: each shard frees only its own rows'
+            # columns in the owner replica; pmin re-converges the replicas
+            # (freed -1 beats any row id; see unassign_violators docstring).
+            combine_owner=lambda o: lax.pmin(o, axis_name),
         )
 
     spec_rows = P(axis_name)

@@ -116,3 +116,56 @@ def test_warm_start_prices():
     assert s.prices is not None
     r2 = s.solve(warm_prices=s.prices)
     assert r2["meta"]["obj"] == r1["meta"]["obj"]
+
+
+class TestKeepAssignment:
+    """Warm-started eps-scaling (unassign only eps-CS violators) must give
+    the same optimal objective as the reference-style full phase reset."""
+
+    @pytest.mark.parametrize("problem", ["min", "max"])
+    @pytest.mark.parametrize("integer", [False, True])
+    def test_objective_matches_reset(self, problem, integer):
+        rng = np.random.default_rng(7)
+        n = m = 64
+        mat = rng.integers(1, 100, (n, m)) if integer else \
+            rng.random((n, m)) * 100 + 1
+        kw = dict(problem=problem, cardinality_check=False, mode="device")
+        a = auction_solve(np.asarray(mat), keep_assignment=True, **kw)
+        b = auction_solve(np.asarray(mat), keep_assignment=False, **kw)
+        assert a["meta"]["soln_found"] and b["meta"]["soln_found"]
+        if integer:
+            assert a["meta"]["obj"] == b["meta"]["obj"]
+        else:
+            assert abs(a["meta"]["obj"] - b["meta"]["obj"]) <= 1e-3 * abs(
+                b["meta"]["obj"]) + 1e-6
+        ref = scipy_dense_objective(np.asarray(mat, np.float64),
+                                    maximize=problem == "max")
+        tol = 0 if integer else 1.0  # float path: m * eps_min <= 1
+        assert abs(a["meta"]["obj"] - ref) <= tol + 1e-5
+
+    def test_rectangular_and_sparse(self):
+        rng = np.random.default_rng(11)
+        n, m = 40, 64
+        mat = rng.random((n, m)) * 50 + 1
+        mat[rng.random((n, m)) < 0.4] = -1  # forbidden
+        mat[np.arange(n), rng.permutation(m)[:n]] = 1.0  # keep feasible
+        a = auction_solve(mat, keep_assignment=True, mode="device")
+        b = auction_solve(mat, keep_assignment=False, mode="device")
+        assert a["meta"]["soln_found"] and b["meta"]["soln_found"]
+        assert abs(a["meta"]["obj"] - b["meta"]["obj"]) <= 1e-3 * abs(
+            b["meta"]["obj"]) + 1e-5
+
+    def test_hybrid_keep_assignment(self):
+        from sslap_tpu.hybrid import native_available
+        if not native_available():
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(13)
+        n = m = 300
+        loc, val, _ = random_sparse_instance(rng, n, m, 0.05, integer=False)
+        a = auction_solve(loc=loc, val=val, shape=(n, m), mode="hybrid",
+                          keep_assignment=True, cardinality_check=False)
+        b = auction_solve(loc=loc, val=val, shape=(n, m), mode="cpu",
+                          keep_assignment=False, cardinality_check=False)
+        assert a["meta"]["soln_found"] and b["meta"]["soln_found"]
+        assert abs(a["meta"]["obj"] - b["meta"]["obj"]) <= 1e-3 * abs(
+            b["meta"]["obj"]) + 1e-5
