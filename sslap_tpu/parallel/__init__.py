@@ -9,11 +9,17 @@ price/assignment state and per-round pmax/pmin combines over ICI/DCN.
 from sslap_tpu.parallel.mesh import make_mesh, initialize_multihost
 from sslap_tpu.parallel.partition import pad_rows_for_mesh
 from sslap_tpu.parallel.sharded import auction_solve_sharded, sharded_solve_ell
+from sslap_tpu.parallel.overlap import (
+    auction_solve_overlapped,
+    solve_ell_overlapped,
+)
 
 __all__ = [
     "make_mesh",
     "initialize_multihost",
     "pad_rows_for_mesh",
     "auction_solve_sharded",
+    "auction_solve_overlapped",
     "sharded_solve_ell",
+    "solve_ell_overlapped",
 ]
