@@ -72,7 +72,9 @@ def main():
     hyb_t = time.perf_counter() - t0
     meta = res_h["meta"]
     log(f"hybrid: {hyb_t:.2f}s device_rounds={meta['its']} "
-        f"host_bids={meta['host_bids']} obj={meta['obj']:.1f}")
+        f"host_bids={meta['host_bids']} obj={meta['obj']:.1f} "
+        f"device_t={meta.get('device_time', 0):.2f}s "
+        f"host_gs_t={meta.get('host_gs_time', 0):.2f}s")
     assert meta["soln_found"]
     rel_gap = abs(meta["obj"] - res_cpu["meta"]["obj"]) / abs(
         res_cpu["meta"]["obj"])

@@ -126,14 +126,17 @@ def config3(small=False):
 
 
 def config4(small=False):
-    """1M x 1M ~10 nnz/row float: primary nnz/s measurement (bench.py is
-    the canonical runner; this reuses its logic)."""
-    sys.path.insert(0, ".")
-    import bench
+    """1M x 1M ~10 nnz/row float: primary time-to-optimal measurement
+    (bench.py is the canonical runner with the same instance; this runs the
+    best 'auto' mode end to end)."""
+    from sslap_tpu import auction_solve
     n = 50_000 if small else 1_000_000
-    nnz_per_s, solve_time, rounds = bench.bench_tpu(n=n, k_extra=9)
-    return {"config": 4, "n": n, "nnz_per_s": nnz_per_s,
-            "time": solve_time, "rounds": rounds}
+    loc, val = make_sparse(n, n, 10, seed=0, integer=False)
+    res, _ = _timed_solve(loc, val, n, n, cardinality_check=False)  # warm
+    res, dt = _timed_solve(loc, val, n, n, cardinality_check=False)
+    return {"config": 4, "n": n, "nnz": len(val), "time": dt,
+            "nnz_per_s": len(val) / dt, "mode": res["meta"].get("mode"),
+            "soln_found": res["meta"]["soln_found"]}
 
 
 def config5(small=False):

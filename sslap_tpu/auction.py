@@ -456,10 +456,14 @@ def make_transform(problem: str, size: int, dtype, vmax_abs: float) -> Transform
     sign = 1 if problem == "max" else -1
     if jnp.issubdtype(jnp.dtype(dtype), jnp.integer):
         scale = size + 1
-        if vmax_abs * scale >= 2 ** 28:
+        # 2**26 keeps every intermediate (prices bounded by
+        # vmax_t + bigp + eps0 < 2**28, padded-w sentinels at -2**30)
+        # comfortably inside int32 with the implicit-validity masking used
+        # by compact.py (pad value = sentinel, w_pad = sentinel - price).
+        if vmax_abs * scale >= 2 ** 26:
             raise ValueError(
                 f"integer costs too large for the exact int32 path: "
-                f"max|cost| * (m+1) = {vmax_abs * scale:.3g} >= 2**28. "
+                f"max|cost| * (m+1) = {vmax_abs * scale:.3g} >= 2**26. "
                 f"Use float costs (eps-optimal) or reduce the cost range."
             )
         return Transform(sign=sign, scale=scale)

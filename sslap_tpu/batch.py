@@ -78,14 +78,32 @@ def auction_solve_batched(
     theta: float = 5.0,
     max_iter: Optional[int] = None,
     warm_prices=None,
+    mesh=None,
+    batch_axis: str = "batch",
 ):
     """Solve a batch of independent instances; returns (sols [B, n] numpy,
-    metas list).  Objectives are computed on host exactly (as in api.py)."""
+    metas list).  Objectives are computed on host exactly (as in api.py).
+
+    With ``mesh`` the batch axis is sharded over the mesh's ``batch_axis``
+    (data parallelism over instances: each device runs the vmapped solve on
+    its slice; no collectives are needed since instances are independent --
+    the while_loop runs until the slowest local instance converges)."""
     cols, vals, valid, nvalid = prob.cols, prob.vals, prob.valid, prob.nvalid
     if cols.ndim != 3:
         raise ValueError("expected batched ELLProblem with leading axis")
     B = cols.shape[0]
     t0 = time.perf_counter()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if B % mesh.shape[batch_axis] != 0:
+            raise ValueError(
+                f"batch size {B} must divide evenly over the "
+                f"{mesh.shape[batch_axis]}-way '{batch_axis}' mesh axis")
+        sh = NamedSharding(mesh, P(batch_axis))
+        cols = jax.device_put(np.asarray(cols), sh)
+        vals = jax.device_put(np.asarray(vals), sh)
+        valid = jax.device_put(np.asarray(valid), sh)
+        nvalid = jax.device_put(np.asarray(nvalid), sh)
     vals_np = np.asarray(vals)
     valid_np = np.asarray(valid)
     vmax_abs = float(np.abs(vals_np[valid_np]).max()) if valid_np.any() else 0.0
@@ -96,9 +114,12 @@ def auction_solve_batched(
     if max_iter is None:
         max_iter = _auction.default_max_iter(prob.n)
     if warm_prices is None:
-        p0 = jnp.zeros((B, prob.m), vals.dtype)
+        p0 = jnp.zeros((B, prob.m), vals_np.dtype)
     else:
-        p0 = jnp.asarray(warm_prices, vals.dtype)
+        p0 = jnp.asarray(warm_prices, vals_np.dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        p0 = jax.device_put(np.asarray(p0), NamedSharding(mesh, P(batch_axis)))
     res = _batched_solve_jit(cols, tr.apply(vals), valid, nvalid, p0,
                              e0, e_min, theta_v, max_iter, prob.n)
     sols = np.asarray(res.sigma)

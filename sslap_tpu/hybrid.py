@@ -2,22 +2,30 @@
 instances).
 
 Why this exists: the Jacobi auction retires most rows in a handful of wide
-rounds, but the tail of every eps phase is *serial eviction chains* --
-measured at ~2-4n one-row rounds on random sparse instances -- and a TPU
-round that touches one row still costs a full loop iteration.  The
-TPU-native design therefore splits each eps phase:
+rounds, but the tail of every eps phase is *serial eviction chains*:
+measured on random sparse instances, ~82% of rounds carry fewer than 16
+bids (pure serial work where a 2 GHz host core wins) while <1% of rounds
+carry >45% of all bids (wide vector work where the TPU wins).
 
-  device (jitted while_loop): Jacobi rounds while > ``threshold`` rows are
-      active -- each round retires many rows at full VPU width;
-  host (native C++ Gauss-Seidel, sslap_native.cpp): finishes the remaining
-      serial chains at ~ns/bid over the same transformed CSR values with
-      identical bid semantics, preserving eps-CS across the handoff.
+Square-problem flow (the headline path):
 
-State shuttled per phase is only (prices [m], sigma [n], owner [m]).
+  device, ONE jit execution: every eps phase's wide rounds via tiered
+      active-compaction (compact.solve_ell_tiered), each phase *truncated*
+      once <= ``trunc`` rows are active -- correct because only the final
+      phase must complete at eps_min; earlier phases just precondition
+      prices (eps-CS holds throughout);
+  one device->host transfer (prices + sigma; owner is derived) -- this
+      environment's TPU tunnel charges up to seconds per MB of readback,
+      so the old per-phase shuttle dominated end-to-end time;
+  host, ONE native C++ Gauss-Seidel pass (sslap_native.cpp) at eps_min:
+      finishes the serial chains at ~0.1-0.7 us/bid with bid semantics
+      identical to the device (lowest-column argmax tie-break,
+      v2 = v1 - bigp single-entry rule), preserving eps-CS at handoff.
 
-``mode='cpu'`` skips the device entirely: a pure native Gauss-Seidel
-eps-scaled solve -- the sslap-class CPU reference used by bench.py as the
-vs-baseline.
+Rectangular problems keep the per-phase device/host split with implicit
+dummy handling.  ``mode='cpu'`` skips the device entirely: a pure native
+Gauss-Seidel eps-scaled solve -- the sslap-class CPU reference used by
+bench.py as the vs-baseline.
 """
 
 from __future__ import annotations
@@ -74,6 +82,20 @@ def _device_phase_tiered(cols, vals_t, valid, nvalid, prices, owner, sigma,
         threshold=threshold, max_rounds=max_rounds)
 
 
+@jax.jit
+def _device_truncated_solve(cols, vals_t, valid, nvalid, p0,
+                            eps0, eps_min, theta, max_iter, bigp, trunc):
+    """All eps phases on device in ONE execution, each truncated at
+    ``trunc`` active rows (compact.solve_ell_tiered), so the hybrid pays
+    exactly one host->device and one device->host transfer -- the per-phase
+    state shuttle was measured at up to seconds per MB on this TPU tunnel
+    and dominated the old per-phase hybrid."""
+    from sslap_tpu import compact as _compact
+    return _compact.solve_ell_tiered(cols, vals_t, valid, nvalid, p0,
+                                     eps0, eps_min, theta, max_iter,
+                                     bigp=bigp, trunc=trunc)
+
+
 @functools.partial(jax.jit, static_argnames=("n_dummy",))
 def _device_phase(cols, vals_t, valid, nvalid, prices, owner, sigma,
                   eps, bigp, threshold, max_rounds, n_dummy):
@@ -115,6 +137,7 @@ def solve_hybrid(
     theta: float = 5.0,
     max_iter: Optional[int] = None,
     threshold: int = 4096,
+    trunc: int = 1024,
     mode: str = "hybrid",            # 'hybrid' | 'cpu'
     warm_prices=None,
     n_real: Optional[int] = None,
@@ -153,6 +176,50 @@ def solve_hybrid(
     owner = np.full(m, -1, np.int32)
 
     use_device = mode == "hybrid"
+    if use_device and n_dummy == 0:
+        # Square fast path: every eps phase runs on device in one jit call,
+        # truncated at ``threshold`` active rows; a single native GS pass at
+        # eps_min then finishes the assignment.  Correct because only the
+        # FINAL phase must complete at eps_min (eps-CS holds throughout);
+        # truncated phases just precondition prices.  Measured split
+        # (n = 20k, 10 nnz/row): ~82% of rounds carry < 16 bids (host's
+        # serial regime), while < 1% of rounds carry > 45% of bids
+        # (device's wide regime).
+        vals_t = tr.apply(prob.vals)
+        t0 = time.perf_counter()
+        t_dev0 = t0
+        trunc = jnp.int32(min(int(trunc), max(n // 8, 1)))
+        res = _device_truncated_solve(
+            prob.cols, vals_t, prob.valid, prob.nvalid,
+            jnp.asarray(prices), e0, e_min, theta_v, max_iter,
+            bigp, trunc)
+        prices = np.array(res.prices)
+        sigma = np.array(res.sigma)
+        dev_rounds = int(res.rounds)
+        t_dev = time.perf_counter() - t_dev0
+        # owner is derivable from sigma for square problems (no dummies).
+        owner[:] = -1
+        assigned = sigma >= 0
+        owner[sigma[assigned]] = np.nonzero(assigned)[0].astype(np.int32)
+        t_gs0 = time.perf_counter()
+        bids = _gs(indptr, indices, data, prices, sigma, owner,
+                   e_min, bigp, 0, 100 * n + 10_000_000)
+        t_gs = time.perf_counter() - t_gs0
+        unassigned = int(((sigma < 0) & (np.diff(indptr) > 0)).sum())
+        meta = {
+            "its": dev_rounds,
+            "host_bids": max(int(bids), 0),
+            "phases": int(res.phases),
+            "final_eps": float(e_min) / tr.scale,
+            "unassigned": unassigned,
+            "soln_found": unassigned == 0 and bids >= 0,
+            "time": time.perf_counter() - t0,
+            "device_time": t_dev,
+            "host_gs_time": t_gs,
+            "mode": mode,
+        }
+        return sigma, prices, meta
+
     if use_device:
         vals_t = tr.apply(prob.vals)
         d_prices = jnp.asarray(prices)

@@ -1,0 +1,192 @@
+"""On-device Gauss-Seidel auction kernel (Pallas TPU).
+
+Why this exists: the tail of every eps phase is serial eviction chains --
+measured ~2.6 sequential rounds per row on random sparse instances -- and
+no amount of vectorization helps work that is one bid deep at a time.  The
+reference (and our native C++ GS, sslap_native.cpp) runs those chains on
+the host at ~0.7 us/bid, *bound by DRAM latency on the random price-vector
+accesses*.  On TPU the price table fits in VMEM (4 MB at m = 1M), where
+random scalar access has deterministic few-cycle latency -- so a scalar
+Gauss-Seidel loop inside one Pallas kernel can compete with a 2 GHz host
+core at its own serial game, with zero tunnel transfers (this environment
+pays up to seconds per MB of device->host readback).
+
+The kernel is semantically identical to the C++ auction_gs (FIFO queue of
+unassigned rows, lowest-column-index argmax tie-break, v2 = v1 - bigp for
+single-entry rows), so device and host tails are interchangeable and
+cross-validated in tests/test_ops.py.
+
+State in VMEM: prices [m], owner [m], queue ring [cap].  Row ELL data
+(cols/vals) stays in HBM; each bid DMAs its row's K-entry slices into
+double-buffered VMEM scratch, prefetching the next queued row while the
+current row computes.  ``vals`` must be pre-masked (padding <= -bigp) so
+no validity mask is needed in-kernel; queued rows must have >= 1 valid
+entry.  Square problems only (implicit dummies stay on the XLA paths).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gs_kernel(counts_ref,           # SMEM i32 [2]: qcount, max_bids
+               fscal_ref,            # SMEM f32 [2]: eps, bigp
+               cols_hbm,             # ANY  i32 [n, K]
+               vals_hbm,             # ANY  f32 [n, K] (masked: pad = -big)
+               queue_in, prices_in, owner_in,   # aliased onto outputs
+               queue_io, prices_io, owner_io, stats_ref,
+               cbuf, vbuf, sem):
+    """stats_ref (SMEM i32 [2]): bids performed, rows left in queue."""
+    del queue_in, prices_in, owner_in
+    K = cols_hbm.shape[1]
+    cap = queue_io.shape[0]
+    eps = fscal_ref[0]
+    bigp = fscal_ref[1]
+    qcount = counts_ref[0]
+    max_bids = counts_ref[1]
+
+    def copies(slot, r):
+        return (
+            pltpu.make_async_copy(cols_hbm.at[r], cbuf.at[slot],
+                                  sem.at[0, slot]),
+            pltpu.make_async_copy(vals_hbm.at[r], vbuf.at[slot],
+                                  sem.at[1, slot]),
+        )
+
+    def start(slot, r):
+        a, b = copies(slot, r)
+        a.start()
+        b.start()
+
+    def wait(slot, r):
+        a, b = copies(slot, r)
+        a.wait()
+        b.wait()
+
+    @pl.when(qcount > 0)
+    def _():
+        start(0, queue_io[0])
+
+    def cond(carry):
+        head, tail, bids, _ = carry
+        return (head != tail) & (bids < max_bids)
+
+    def body(carry):
+        head, tail, bids, slot = carry
+        u = queue_io[head]
+        head1 = head + 1
+        head1 = jnp.where(head1 == cap, 0, head1)
+
+        # Prefetch the next queued row while this one computes.
+        @pl.when(head1 != tail)
+        def _():
+            start(1 - slot, queue_io[head1])
+
+        wait(slot, u)
+
+        # Scalar top-2 scan with direct ref indexing (Mosaic cannot lower
+        # dynamic_slice on materialized vectors); ascending k keeps the
+        # FIRST max, which is the lowest column index (ELL columns are
+        # sorted) -- the documented deterministic tie-break, identical to
+        # the C++ GS.
+        def scan(k, st):
+            v1, v2, kb = st
+            w = vbuf[slot, k] - prices_io[cbuf[slot, k]]
+            better1 = w > v1
+            v2n = jnp.where(better1, v1, jnp.maximum(v2, w))
+            v1n = jnp.where(better1, w, v1)
+            kbn = jnp.where(better1, k, kb)
+            return v1n, v2n, kbn
+
+        neg = jnp.float32(-3e38)
+        v1, v2, kb = lax.fori_loop(0, K, scan,
+                                   (neg, neg, jnp.int32(0)))
+        v2 = jnp.where(v2 > neg * 0.5, v2, v1 - bigp)
+        jstar = cbuf[slot, kb]
+        bid = vbuf[slot, kb] - v2 + eps
+
+        prev = owner_io[jstar]
+        tail1 = jnp.where(tail + 1 == cap, 0, tail + 1)
+
+        @pl.when(prev >= 0)
+        def _():
+            queue_io[tail] = prev
+            # Queue was empty after this pop: the prefetcher must fetch
+            # the row we just pushed instead.
+            @pl.when(head1 == tail)
+            def _():
+                start(1 - slot, prev)
+
+        new_tail = jnp.where(prev >= 0, tail1, tail)
+        prices_io[jstar] = bid
+        owner_io[jstar] = u
+        return head1, new_tail, bids + 1, 1 - slot
+
+    head, tail, bids, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), qcount, jnp.int32(0), jnp.int32(0)))
+    stats_ref[0] = bids
+    left = jnp.where(tail >= head, tail - head, tail - head + cap)
+    stats_ref[1] = left
+
+
+def gs_auction_device(cols, vals_masked, queue, qcount, prices, owner,
+                      eps, bigp, max_bids, *, interpret: bool = False):
+    """Run the GS auction kernel to queue exhaustion (or bid budget).
+
+    Args:
+      cols: int32 [n, K] ELL columns.
+      vals_masked: f32 [n, K] transformed maximization values with padding
+        entries <= -bigp (so they never win the top-2).
+      queue: int32 [cap] ring, first ``qcount`` slots = unassigned row ids
+        (each with >= 1 valid entry); cap >= n + 1.
+      prices, owner: current dual/assignment state ([m] f32 / int32 where
+        owner -1 = free).
+      max_bids: safety budget (infeasible inputs stop here, reporting
+        remaining > 0 instead of hanging).
+
+    Returns (prices, owner, queue, bids_done, remaining_in_queue).
+    """
+    n, K = cols.shape
+    m = prices.shape[0]
+    cap = queue.shape[0]
+    counts = jnp.stack([jnp.asarray(qcount, jnp.int32),
+                        jnp.asarray(max_bids, jnp.int32)])
+    fscal = jnp.stack([jnp.asarray(eps, jnp.float32),
+                       jnp.asarray(bigp, jnp.float32)])
+    queue_o, prices_o, owner_o, stats = pl.pallas_call(
+        _gs_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cap,), jnp.int32),
+            jax.ShapeDtypeStruct((m,), jnp.float32),
+            jax.ShapeDtypeStruct((m,), jnp.int32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ),
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+        scratch_shapes=[
+            pltpu.VMEM((2, K), jnp.int32),
+            pltpu.VMEM((2, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(counts, fscal, cols, vals_masked, queue, prices, owner)
+    return prices_o, owner_o, queue_o, stats[0], stats[1]

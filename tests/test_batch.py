@@ -53,3 +53,28 @@ def test_stack_shape_mismatch_raises():
     b = ingest.from_dense(np.ones((3, 3)))
     with pytest.raises(ValueError, match="share"):
         stack_problems([a, b])
+
+
+def test_batched_sharded_over_mesh():
+    """Batch axis sharded over an 8-device mesh must reproduce the
+    unsharded batched results exactly (DP over instances, T9)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from sslap_tpu import ingest
+    from sslap_tpu.batch import auction_solve_batched, stack_problems
+    from tests.utils import random_sparse_instance
+
+    rng = np.random.default_rng(21)
+    B, n = 8, 48
+    probs = []
+    for b in range(B):
+        loc, val, _ = random_sparse_instance(rng, n, n, 0.2)
+        probs.append(ingest.from_coo(loc, val, shape=(n, n), pad_to=16))
+    batched = stack_problems(probs)
+    sols_ref, metas_ref = auction_solve_batched(batched)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("batch",))
+    sols_sh, metas_sh = auction_solve_batched(batched, mesh=mesh)
+    np.testing.assert_array_equal(sols_ref, sols_sh)
+    for a, b_ in zip(metas_ref, metas_sh):
+        assert a["obj"] == b_["obj"]

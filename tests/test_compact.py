@@ -1,0 +1,110 @@
+"""Unit tests for the tiered active-compaction layer (compact.py):
+one compact round must produce exactly the same state transition as the
+full-width reference round (auction.jacobi_round), and the truncated solve
+must stay eps-CS-consistent for the host GS finisher."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sslap_tpu import auction as A
+from sslap_tpu import compact as C
+from tests.utils import random_sparse_instance
+from sslap_tpu import ingest as I
+
+
+def _problem(seed=0, n=96, density=0.15):
+    rng = np.random.default_rng(seed)
+    loc, val, _ = random_sparse_instance(rng, n, n, density, integer=False)
+    prob = I.from_coo(loc, val.astype(np.float32), shape=(n, n))
+    vals_t = -jnp.asarray(prob.vals)     # min -> maximization
+    return prob, vals_t
+
+
+@pytest.mark.parametrize("Ccap", [32, 96])
+def test_compact_round_matches_reference_round(Ccap):
+    prob, vals_t = _problem()
+    n = prob.n
+    cols = jnp.asarray(prob.cols)
+    valid = jnp.asarray(prob.valid)
+    nvalid = jnp.asarray(prob.nvalid)
+    vals_m = C.mask_vals(vals_t, valid)
+    eps = jnp.float32(2.0)
+    bigp = jnp.float32(200.0)
+    prices = jnp.asarray(np.random.default_rng(1).random(n).astype(np.float32))
+    owner = jnp.full((n,), -1, jnp.int32)
+    sigma = jnp.full((n,), -1, jnp.int32)
+
+    # Reference: full-width Jacobi round over ALL rows (all unassigned).
+    p_ref, o_ref, s_ref = A.jacobi_round(
+        cols, vals_t, valid, nvalid, prices, owner, sigma, eps, bigp)
+
+    # Compact round over the same full active set (possibly in two chunks
+    # is NOT equivalent; use full width in one compact buffer).
+    ids = jnp.where(nvalid > 0, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    if Ccap < n:
+        # restrict both sides to the first Ccap rows being active
+        ids = jnp.where(jnp.arange(n) < Ccap, ids, jnp.int32(n))
+        sig0 = jnp.where(jnp.arange(n) < Ccap, sigma, 0)  # mark others
+        p_ref, o_ref, s_ref = A.jacobi_round(
+            cols, vals_t, valid, nvalid, prices, owner,
+            jnp.where(jnp.arange(n) < Ccap, -1, 0), eps, bigp)
+    p_c, o_c, s_c, new_ids, n_won, n_evi = C.compact_round(
+        cols, vals_m, nvalid, prices, owner,
+        jnp.full((n,), -1, jnp.int32) if Ccap >= n else
+        jnp.where(jnp.arange(n) < Ccap, -1, 0),
+        ids, eps, bigp)
+
+    np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_c), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(o_ref), np.asarray(o_c))
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_c))
+    # Active-list bookkeeping is consistent.
+    assert int(n_won) == int((np.asarray(o_c) >= 0).sum())
+    live_new = np.asarray(new_ids) < n
+    stay_or_evicted = np.asarray(new_ids)[live_new]
+    assert len(set(stay_or_evicted.tolist())) == live_new.sum()
+
+
+def test_truncated_solve_completed_by_gs_reference():
+    """solve_ell_tiered(trunc>0) leaves an eps-CS-consistent partial state:
+    completing it with the (numpy mirror of the) GS auction at eps_min gives
+    the scipy-optimal objective."""
+    from tests.utils import scipy_sparse_objective
+    rng = np.random.default_rng(3)
+    n = 128
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.12, integer=False)
+    prob = I.from_coo(loc, val.astype(np.float32), shape=(n, n))
+    vals_t = -jnp.asarray(prob.vals)
+    e0, e_min, theta = A.default_eps_schedule(np.float32, float(val.max()),
+                                              n, 1)
+    res = C.solve_ell_tiered(
+        jnp.asarray(prob.cols), vals_t, jnp.asarray(prob.valid),
+        jnp.asarray(prob.nvalid), jnp.zeros((n,), jnp.float32),
+        e0, e_min, theta, 100_000, trunc=8)
+    # finish with the native GS (same bid semantics)
+    from sslap_tpu.hybrid import native_available, ell_to_csr_transformed
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    from sslap_tpu.native import auction_gs
+    indptr, indices, data = ell_to_csr_transformed(prob, -1, 1)
+    bigp = np.float32(float(data.max() - data.min()) + 1.0)
+    prices = np.array(res.prices)
+    sigma = np.array(res.sigma)
+    owner = np.full(n, -1, np.int32)
+    a = sigma >= 0
+    owner[sigma[a]] = np.nonzero(a)[0].astype(np.int32)
+    bids = auction_gs(indptr, indices, data, prices, sigma, owner,
+                      np.float32(e_min), bigp, 0, 10 ** 7)
+    assert bids >= 0
+    assert (sigma >= 0).all()
+    dense_obj = 0.0
+    colsA = np.asarray(prob.cols)
+    valsA = np.asarray(prob.vals)
+    validA = np.asarray(prob.valid)
+    for i in range(n):
+        k = np.argmax((colsA[i] == sigma[i]) & validA[i])
+        dense_obj += float(valsA[i, k])
+    oracle = scipy_sparse_objective(loc, val, n, n)
+    assert abs(dense_obj - oracle) <= 1.0
