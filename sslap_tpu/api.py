@@ -180,9 +180,11 @@ class AuctionSolver:
             # Square problems take the tiered active-compaction driver
             # (compact.py): round cost scales with the live active set
             # instead of O(n*K).
+            from sslap_tpu import compact as _compact
+            Kc = _compact.csc_width(prob.cols, prob.valid, prob.m)
             res = _solve_tiered_jit(prob.cols, vals_t, prob.valid,
                                     prob.nvalid, p0, e0, e_min, theta,
-                                    max_iter)
+                                    max_iter, Kc)
         else:
             res = _solve_jit(prob.cols, vals_t, prob.valid, prob.nvalid, p0,
                              e0, e_min, theta, max_iter,
@@ -219,12 +221,12 @@ def _solve_jit(cols, vals_t, valid, nvalid, p0, eps0, eps_min, theta,
                               keep_assignment=keep_assignment)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("Kc",))
 def _solve_tiered_jit(cols, vals_t, valid, nvalid, p0, eps0, eps_min, theta,
-                      max_iter):
+                      max_iter, Kc):
     from sslap_tpu import compact as _compact
     return _compact.solve_ell_tiered(cols, vals_t, valid, nvalid, p0,
-                                     eps0, eps_min, theta, max_iter)
+                                     eps0, eps_min, theta, max_iter, Kc)
 
 
 def auction_solve(

@@ -70,21 +70,10 @@ def ell_to_csr_transformed(prob: ELLProblem, sign: int, scale: int
     return indptr, indices, data
 
 
-@functools.partial(jax.jit, static_argnames=("threshold",))
-def _device_phase_tiered(cols, vals_t, valid, nvalid, prices, owner, sigma,
-                         eps, bigp, threshold, max_rounds):
-    """Square-problem device phase: tiered active-compaction rounds
-    (compact.py) down to ``threshold`` active rows.  Round cost scales with
-    the live active set instead of O(n*K)."""
-    from sslap_tpu import compact as _compact
-    return _compact.device_phase_tiered(
-        cols, vals_t, valid, nvalid, prices, owner, sigma, eps, bigp,
-        threshold=threshold, max_rounds=max_rounds)
-
-
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("Kc",))
 def _device_truncated_solve(cols, vals_t, valid, nvalid, p0,
-                            eps0, eps_min, theta, max_iter, bigp, trunc):
+                            eps0, eps_min, theta, max_iter, bigp, trunc,
+                            Kc):
     """All eps phases on device in ONE execution, each truncated at
     ``trunc`` active rows (compact.solve_ell_tiered), so the hybrid pays
     exactly one host->device and one device->host transfer -- the per-phase
@@ -92,7 +81,7 @@ def _device_truncated_solve(cols, vals_t, valid, nvalid, p0,
     and dominated the old per-phase hybrid."""
     from sslap_tpu import compact as _compact
     return _compact.solve_ell_tiered(cols, vals_t, valid, nvalid, p0,
-                                     eps0, eps_min, theta, max_iter,
+                                     eps0, eps_min, theta, max_iter, Kc,
                                      bigp=bigp, trunc=trunc)
 
 
@@ -137,7 +126,7 @@ def solve_hybrid(
     theta: float = 5.0,
     max_iter: Optional[int] = None,
     threshold: int = 4096,
-    trunc: int = 1024,
+    trunc: int = 64,
     mode: str = "hybrid",            # 'hybrid' | 'cpu'
     warm_prices=None,
     n_real: Optional[int] = None,
@@ -186,13 +175,15 @@ def solve_hybrid(
         # serial regime), while < 1% of rounds carry > 45% of bids
         # (device's wide regime).
         vals_t = tr.apply(prob.vals)
+        from sslap_tpu import compact as _compact
+        Kc = _compact.csc_width(prob.cols, prob.valid, m)
         t0 = time.perf_counter()
         t_dev0 = t0
         trunc = jnp.int32(min(int(trunc), max(n // 8, 1)))
         res = _device_truncated_solve(
             prob.cols, vals_t, prob.valid, prob.nvalid,
             jnp.asarray(prices), e0, e_min, theta_v, max_iter,
-            bigp, trunc)
+            bigp, trunc, Kc)
         prices = np.array(res.prices)
         sigma = np.array(res.sigma)
         dev_rounds = int(res.rounds)

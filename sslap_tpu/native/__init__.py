@@ -16,6 +16,7 @@ if _lib is not None:
     from sslap_tpu.native.build import (
         auction_gs,
         build_ell_native,
+        build_csc_native,
         hopcroft_karp_native,
         unassign_violators_native,
     )
@@ -24,3 +25,4 @@ else:  # toolchain unavailable: numpy fallbacks are used by callers
     build_ell_native = None
     auction_gs = None
     unassign_violators_native = None
+    build_csc_native = None

@@ -80,3 +80,21 @@ def test_meta_contract():
     assert meta["final_eps"] > 0
     assert res.sol is res["sol"]
     assert res.objective == meta["obj"]
+
+
+def test_determinism_same_input_same_assignment():
+    """Same instance solved twice (and via a fresh solver object) must give
+    bit-identical assignments -- the documented deterministic tie-breaks
+    (SURVEY.md SS6 'Race detection': determinism serves the trust role)."""
+    import numpy as np
+    from sslap_tpu import auction_solve
+    from tests.utils import random_sparse_instance
+
+    rng = np.random.default_rng(77)
+    n = 128
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.1, integer=True)
+    a = auction_solve(loc=loc, val=val, shape=(n, n), mode="device")
+    b = auction_solve(loc=loc, val=val, shape=(n, n), mode="device")
+    np.testing.assert_array_equal(a["sol"], b["sol"])
+    assert a["meta"]["obj"] == b["meta"]["obj"]
+    assert a["meta"]["its"] == b["meta"]["its"]
