@@ -160,11 +160,29 @@ class AuctionSolver:
         if mode in ("hybrid", "cpu"):
             from sslap_tpu import hybrid as _hybrid
             n_empty = int((np.asarray(prob.nvalid) == 0).sum())
-            sol, prices, hmeta = _hybrid.solve_hybrid(
-                prob, problem=self.problem, eps_start=self.eps_start,
-                eps_min=self.eps_min, theta=self.theta,
-                max_iter=self.max_iter, mode=mode, warm_prices=warm_prices,
-                keep_assignment=self.keep_assignment)
+            try:
+                sol, prices, hmeta = _hybrid.solve_hybrid(
+                    prob, problem=self.problem, eps_start=self.eps_start,
+                    eps_min=self.eps_min, theta=self.theta,
+                    max_iter=self.max_iter, mode=mode,
+                    warm_prices=warm_prices,
+                    keep_assignment=self.keep_assignment)
+            except jax.errors.JaxRuntimeError as e:
+                if mode != "hybrid":
+                    raise
+                # Device/tunnel failure (this environment's TPU worker is
+                # known to crash under long executions): degrade to the
+                # pure-native path rather than failing the solve.
+                import warnings
+                warnings.warn(
+                    f"device solve failed ({type(e).__name__}); falling "
+                    f"back to the native CPU path", RuntimeWarning)
+                sol, prices, hmeta = _hybrid.solve_hybrid(
+                    prob, problem=self.problem, eps_start=self.eps_start,
+                    eps_min=self.eps_min, theta=self.theta,
+                    max_iter=self.max_iter, mode="cpu",
+                    warm_prices=warm_prices,
+                    keep_assignment=self.keep_assignment)
             unassigned = hmeta["unassigned"] + n_empty
             soln_found = unassigned == 0
             self.prices = prices
@@ -180,11 +198,9 @@ class AuctionSolver:
             # Square problems take the tiered active-compaction driver
             # (compact.py): round cost scales with the live active set
             # instead of O(n*K).
-            from sslap_tpu import compact as _compact
-            Kc = _compact.csc_width(prob.cols, prob.valid, prob.m)
             res = _solve_tiered_jit(prob.cols, vals_t, prob.valid,
                                     prob.nvalid, p0, e0, e_min, theta,
-                                    max_iter, Kc)
+                                    max_iter)
         else:
             res = _solve_jit(prob.cols, vals_t, prob.valid, prob.nvalid, p0,
                              e0, e_min, theta, max_iter,
@@ -221,12 +237,12 @@ def _solve_jit(cols, vals_t, valid, nvalid, p0, eps0, eps_min, theta,
                               keep_assignment=keep_assignment)
 
 
-@functools.partial(jax.jit, static_argnames=("Kc",))
+@jax.jit
 def _solve_tiered_jit(cols, vals_t, valid, nvalid, p0, eps0, eps_min, theta,
-                      max_iter, Kc):
+                      max_iter):
     from sslap_tpu import compact as _compact
     return _compact.solve_ell_tiered(cols, vals_t, valid, nvalid, p0,
-                                     eps0, eps_min, theta, max_iter, Kc)
+                                     eps0, eps_min, theta, max_iter)
 
 
 def auction_solve(

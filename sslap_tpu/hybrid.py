@@ -70,10 +70,9 @@ def ell_to_csr_transformed(prob: ELLProblem, sign: int, scale: int
     return indptr, indices, data
 
 
-@functools.partial(jax.jit, static_argnames=("Kc",))
+@jax.jit
 def _device_truncated_solve(cols, vals_t, valid, nvalid, p0,
-                            eps0, eps_min, theta, max_iter, bigp, trunc,
-                            Kc):
+                            eps0, eps_min, theta, max_iter, bigp, trunc):
     """All eps phases on device in ONE execution, each truncated at
     ``trunc`` active rows (compact.solve_ell_tiered), so the hybrid pays
     exactly one host->device and one device->host transfer -- the per-phase
@@ -81,7 +80,7 @@ def _device_truncated_solve(cols, vals_t, valid, nvalid, p0,
     and dominated the old per-phase hybrid."""
     from sslap_tpu import compact as _compact
     return _compact.solve_ell_tiered(cols, vals_t, valid, nvalid, p0,
-                                     eps0, eps_min, theta, max_iter, Kc,
+                                     eps0, eps_min, theta, max_iter,
                                      bigp=bigp, trunc=trunc)
 
 
@@ -126,7 +125,7 @@ def solve_hybrid(
     theta: float = 5.0,
     max_iter: Optional[int] = None,
     threshold: int = 4096,
-    trunc: int = 64,
+    trunc: int = 256,
     mode: str = "hybrid",            # 'hybrid' | 'cpu'
     warm_prices=None,
     n_real: Optional[int] = None,
@@ -175,15 +174,13 @@ def solve_hybrid(
         # serial regime), while < 1% of rounds carry > 45% of bids
         # (device's wide regime).
         vals_t = tr.apply(prob.vals)
-        from sslap_tpu import compact as _compact
-        Kc = _compact.csc_width(prob.cols, prob.valid, m)
         t0 = time.perf_counter()
         t_dev0 = t0
         trunc = jnp.int32(min(int(trunc), max(n // 8, 1)))
         res = _device_truncated_solve(
             prob.cols, vals_t, prob.valid, prob.nvalid,
             jnp.asarray(prices), e0, e_min, theta_v, max_iter,
-            bigp, trunc, Kc)
+            bigp, trunc)
         prices = np.array(res.prices)
         sigma = np.array(res.sigma)
         dev_rounds = int(res.rounds)

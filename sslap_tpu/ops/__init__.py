@@ -12,9 +12,11 @@ to the pure-XLA implementations in auction.py transparently.
 
 from sslap_tpu.ops.bid import bid_topk_pallas, pallas_bid_available
 from sslap_tpu.ops.commit import commit_scatter_pallas
+from sslap_tpu.ops.gs_kernel import gs_auction_device
 
 __all__ = [
     "bid_topk_pallas",
     "pallas_bid_available",
     "commit_scatter_pallas",
+    "gs_auction_device",
 ]

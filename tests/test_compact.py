@@ -51,14 +51,11 @@ def test_compact_round_matches_reference_round(Ccap):
         p_ref, o_ref, s_ref = A.jacobi_round(
             cols, vals_t, valid, nvalid, prices, owner,
             jnp.where(jnp.arange(n) < Ccap, -1, 0), eps, bigp)
-    Kc = C.csc_width(np.asarray(prob.cols), np.asarray(prob.valid), n)
-    csc_pos = C.build_csc_device(cols, valid, n, Kc)
-    w = vals_m - prices[cols]
-    p_c, o_c, s_c, w_c, new_ids, n_won, n_evi = C.compact_round(
-        cols, vals_m, nvalid, csc_pos, prices, owner,
+    p_c, o_c, s_c, new_ids, n_won, n_evi = C.compact_round(
+        cols, vals_m, nvalid, prices, owner,
         jnp.full((n,), -1, jnp.int32) if Ccap >= n else
         jnp.where(jnp.arange(n) < Ccap, -1, 0),
-        w, ids, eps, bigp, streamed=False)
+        ids, eps, bigp)
 
     np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_c), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(o_ref), np.asarray(o_c))
@@ -82,11 +79,10 @@ def test_truncated_solve_completed_by_gs_reference():
     vals_t = -jnp.asarray(prob.vals)
     e0, e_min, theta = A.default_eps_schedule(np.float32, float(val.max()),
                                               n, 1)
-    Kc = C.csc_width(np.asarray(prob.cols), np.asarray(prob.valid), n)
     res = C.solve_ell_tiered(
         jnp.asarray(prob.cols), vals_t, jnp.asarray(prob.valid),
         jnp.asarray(prob.nvalid), jnp.zeros((n,), jnp.float32),
-        e0, e_min, theta, 100_000, Kc, trunc=8)
+        e0, e_min, theta, 100_000, trunc=8)
     # finish with the native GS (same bid semantics)
     from sslap_tpu.hybrid import native_available, ell_to_csr_transformed
     if not native_available():
