@@ -18,10 +18,13 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):
@@ -145,7 +148,12 @@ def config5(small=False):
     only); on a pod it measures true multi-host scaling."""
     import jax
     from sslap_tpu.parallel import auction_solve_sharded, make_mesh
-    n = m = 20_000 if small else 200_000
+    # Functional sizes: the sharded round is full-width (no compaction), so
+    # a single-device run grinds serial chains at O(n*K) per round -- fine
+    # across a real mesh where each shard holds n/D rows, prohibitive for
+    # one device at 200k (and this environment's TPU worker dies under
+    # multi-minute executions).  Pod-scale numbers require >= 2 hosts.
+    n = m = 2_000 if small else 8_000
     loc, val = make_sparse(n, m, 10, seed=5)
     n_dev = len(jax.devices())
     mesh = make_mesh()

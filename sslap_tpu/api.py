@@ -141,11 +141,15 @@ class AuctionSolver:
         if self.mode != "auto":
             return self.mode
         from sslap_tpu import hybrid as _hybrid
-        # The device Jacobi path owns small/medium instances; for large ones
-        # the serial eviction-chain tail makes the hybrid device+host path
-        # strictly faster (see hybrid.py docstring).
-        if _hybrid.native_available() and self.problem_spec.n >= 20_000:
-            return "hybrid"
+        # Measured on this environment (1-vCPU host + tunneled v5e with
+        # ~15us/kernel launch latency and scalar-speed random gather): the
+        # native Gauss-Seidel wins single instances at every size tested
+        # (0.07-0.3 us/bid), so auto prefers it when the toolchain is
+        # present.  The device paths are for batched work, scale-out
+        # meshes, and hosts without a native toolchain; force them with
+        # mode='device' / 'hybrid'.
+        if _hybrid.native_available() and self.problem_spec.n >= 2_000:
+            return "cpu"
         return "device"
 
     def solve(self, warm_prices=None) -> AuctionSolution:

@@ -80,6 +80,7 @@ def auction_solve_batched(
     warm_prices=None,
     mesh=None,
     batch_axis: str = "batch",
+    chunk: Optional[int] = None,
 ):
     """Solve a batch of independent instances; returns (sols [B, n] numpy,
     metas list).  Objectives are computed on host exactly (as in api.py).
@@ -87,12 +88,36 @@ def auction_solve_batched(
     With ``mesh`` the batch axis is sharded over the mesh's ``batch_axis``
     (data parallelism over instances: each device runs the vmapped solve on
     its slice; no collectives are needed since instances are independent --
-    the while_loop runs until the slowest local instance converges)."""
+    the while_loop runs until the slowest local instance converges).
+
+    ``chunk`` bounds how many instances run per device execution (default:
+    whole batch, or 32 on single-device runs with B*n > ~10^6).  Chunking
+    keeps individual executions short -- this environment's TPU tunnel is
+    unstable under multi-minute single executions -- at a ~35 ms dispatch
+    cost per chunk."""
     cols, vals, valid, nvalid = prob.cols, prob.vals, prob.valid, prob.nvalid
     if cols.ndim != 3:
         raise ValueError("expected batched ELLProblem with leading axis")
     B = cols.shape[0]
     t0 = time.perf_counter()
+    if chunk is None and mesh is None and B * prob.n > 1_000_000 and B > 32:
+        chunk = 32
+    if chunk is not None and mesh is None and chunk < B:
+        # Solve in bounded slices; concatenate results.
+        sols_parts, metas = [], []
+        for lo in range(0, B, chunk):
+            hi = min(lo + chunk, B)
+            sub = ELLProblem(cols=cols[lo:hi], vals=vals[lo:hi],
+                             valid=valid[lo:hi], nvalid=nvalid[lo:hi],
+                             n=prob.n, m=prob.m)
+            s_part, m_part = auction_solve_batched(
+                sub, problem=problem, eps_start=eps_start, eps_min=eps_min,
+                theta=theta, max_iter=max_iter,
+                warm_prices=None if warm_prices is None
+                else warm_prices[lo:hi], chunk=chunk)
+            sols_parts.append(s_part)
+            metas.extend(m_part)
+        return np.concatenate(sols_parts, axis=0), metas
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         if B % mesh.shape[batch_axis] != 0:

@@ -90,6 +90,10 @@ def _declare(lib: ctypes.CDLL) -> None:
         ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p,
         i32p, i32p, i32p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int64]
+    lib.sslap_auction_gs_pf_f32.restype = ctypes.c_int64
+    lib.sslap_auction_gs_pf_f32.argtypes = lib.sslap_auction_gs_f32.argtypes
+    lib.sslap_auction_gs_pf_i32.restype = ctypes.c_int64
+    lib.sslap_auction_gs_pf_i32.argtypes = lib.sslap_auction_gs_i32.argtypes
     lib.sslap_build_csc_f32.restype = ctypes.c_int64
     lib.sslap_build_csc_f32.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -128,10 +132,17 @@ def hopcroft_karp_native(indptr: np.ndarray, indices: np.ndarray,
 
 def auction_gs(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
                prices: np.ndarray, sigma: np.ndarray, owner: np.ndarray,
-               eps, bigp, n_dummy_total: int, max_bids: int) -> int:
+               eps, bigp, n_dummy_total: int, max_bids: int,
+               prefetch: bool = False) -> int:
     """Run the native Gauss-Seidel auction in place over CSR (transformed
     maximization values).  ``prices``/``sigma``/``owner`` are modified.
-    Returns bids performed, or -1 if max_bids was exhausted."""
+    Returns bids performed, or -1 if max_bids was exhausted.
+
+    ``prefetch`` selects a software-prefetching variant of the scan; on
+    this host it measures SLOWER (the out-of-order core already overlaps
+    the independent price loads; extra prefetches thrash the few line-fill
+    buffers of the 1-vCPU VM), so the plain loop is the default.  The
+    variant is kept for wider-core hosts."""
     lib = load_native()
     assert lib is not None, "native library unavailable"
     n = sigma.shape[0]
@@ -142,10 +153,12 @@ def auction_gs(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
     assert sigma.flags.c_contiguous and owner.flags.c_contiguous
     assert prices.flags.c_contiguous and vals.flags.c_contiguous
     if prices.dtype == np.float32:
-        fn, ct = lib.sslap_auction_gs_f32, ctypes.c_float
+        fn = lib.sslap_auction_gs_pf_f32 if prefetch else             lib.sslap_auction_gs_f32
+        ct = ctypes.c_float
         assert vals.dtype == np.float32
     elif prices.dtype == np.int32:
-        fn, ct = lib.sslap_auction_gs_i32, ctypes.c_int32
+        fn = lib.sslap_auction_gs_pf_i32 if prefetch else             lib.sslap_auction_gs_i32
+        ct = ctypes.c_int32
         assert vals.dtype == np.int32
     else:
         raise TypeError(f"unsupported dtype {prices.dtype}")

@@ -211,7 +211,7 @@ void sslap_ell_fill_i32(int64_t nnz, int64_t n, int64_t K,
 
 namespace {
 
-template <typename T>
+template <typename T, bool kPrefetch>
 int64_t auction_gs(int64_t n, int64_t m, const int64_t* indptr,
                    const int32_t* indices, const T* vals, T* prices,
                    int32_t* sigma, int32_t* owner, T eps, T bigp,
@@ -253,6 +253,25 @@ int64_t auction_gs(int64_t n, int64_t m, const int64_t* indptr,
       if (sigma[u] >= 0) continue;  // stale entry (shouldn't happen)
       // top-2 of a_uj - p_j; ties -> lowest column index (scan order).
       int64_t lo = indptr[u], hi = indptr[u + 1];
+      if (kPrefetch) {
+        // The bid scan is DRAM-latency-bound on the random price reads
+        // (~10 dependent misses/bid at 1M columns).  Issue them all up
+        // front so they overlap, and warm the next queued row's slice
+        // too.  The reference-class plain loop (kPrefetch = false) is
+        // kept as the benchmark baseline -- sslap's Cython does not
+        // prefetch.
+        for (int64_t k = lo; k < hi; ++k) {
+          __builtin_prefetch(&prices[indices[k]], 0, 1);
+        }
+        if (head != tail) {
+          int32_t nu = queue[head];
+          int64_t nlo = indptr[nu], nhi = indptr[nu + 1];
+          __builtin_prefetch(&indices[nlo], 0, 1);
+          for (int64_t k = nlo; k < nhi; ++k) {
+            __builtin_prefetch(&prices[indices[k]], 0, 0);
+          }
+        }
+      }
       T v1 = T(0), v2 = T(0);
       int64_t kbest = -1;
       bool has1 = false, has2 = false;
@@ -416,8 +435,8 @@ int64_t sslap_auction_gs_f32(int64_t n, int64_t m, const int64_t* indptr,
                              float* prices, int32_t* sigma, int32_t* owner,
                              float eps, float bigp, int64_t n_dummy_total,
                              int64_t max_bids) {
-  return auction_gs<float>(n, m, indptr, indices, vals, prices, sigma, owner,
-                           eps, bigp, n_dummy_total, max_bids);
+  return auction_gs<float, false>(n, m, indptr, indices, vals, prices, sigma,
+                                  owner, eps, bigp, n_dummy_total, max_bids);
 }
 
 int64_t sslap_auction_gs_i32(int64_t n, int64_t m, const int64_t* indptr,
@@ -425,8 +444,30 @@ int64_t sslap_auction_gs_i32(int64_t n, int64_t m, const int64_t* indptr,
                              int32_t* prices, int32_t* sigma, int32_t* owner,
                              int32_t eps, int32_t bigp, int64_t n_dummy_total,
                              int64_t max_bids) {
-  return auction_gs<int32_t>(n, m, indptr, indices, vals, prices, sigma,
-                             owner, eps, bigp, n_dummy_total, max_bids);
+  return auction_gs<int32_t, false>(n, m, indptr, indices, vals, prices,
+                                    sigma, owner, eps, bigp, n_dummy_total,
+                                    max_bids);
+}
+
+// Prefetching fast path (the framework's production GS; the plain variants
+// above stay as the sslap-class benchmark baseline).
+int64_t sslap_auction_gs_pf_f32(int64_t n, int64_t m, const int64_t* indptr,
+                                const int32_t* indices, const float* vals,
+                                float* prices, int32_t* sigma,
+                                int32_t* owner, float eps, float bigp,
+                                int64_t n_dummy_total, int64_t max_bids) {
+  return auction_gs<float, true>(n, m, indptr, indices, vals, prices, sigma,
+                                 owner, eps, bigp, n_dummy_total, max_bids);
+}
+
+int64_t sslap_auction_gs_pf_i32(int64_t n, int64_t m, const int64_t* indptr,
+                                const int32_t* indices, const int32_t* vals,
+                                int32_t* prices, int32_t* sigma,
+                                int32_t* owner, int32_t eps, int32_t bigp,
+                                int64_t n_dummy_total, int64_t max_bids) {
+  return auction_gs<int32_t, true>(n, m, indptr, indices, vals, prices,
+                                   sigma, owner, eps, bigp, n_dummy_total,
+                                   max_bids);
 }
 
 }  // extern "C"
