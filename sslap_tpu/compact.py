@@ -243,36 +243,6 @@ def tier_ladder(
     return prices, owner, sigma, ids, active, rounds
 
 
-def device_phase_tiered(
-    cols, vals_t, valid, nvalid,
-    prices, owner, sigma, eps, bigp,
-    *,
-    threshold,
-    max_rounds,
-    tiers: Optional[Tuple[int, ...]] = None,
-):
-    """Fixed-eps device phase for the hybrid driver (hybrid.py): one
-    full-width round over the currently-unassigned rows, then tier descent
-    until <= threshold rows remain active (the host GS finishes the serial
-    eviction chains).  Square problems only (no implicit dummies)."""
-    n, K = cols.shape
-    if tiers is None:
-        tiers = default_tiers(n)
-    eps = jnp.asarray(eps, vals_t.dtype)
-    bigp = jnp.asarray(bigp, vals_t.dtype)
-    vals_m = mask_vals(vals_t, valid)
-    all_rows = jnp.arange(n, dtype=jnp.int32)
-    ids_full = jnp.where((sigma < 0) & (nvalid > 0), all_rows, jnp.int32(n))
-    prices, owner, sigma, ids, n_won, n_evi = compact_round(
-        cols, vals_m, nvalid, prices, owner, sigma, ids_full, eps, bigp)
-    active = jnp.sum(ids < n).astype(jnp.int32)
-    prices, owner, sigma, ids, active, rounds = tier_ladder(
-        cols, vals_m, nvalid,
-        prices, owner, sigma, ids, active, jnp.int32(1), eps,
-        bigp=bigp, tiers=tiers, threshold=threshold, max_iter=max_rounds)
-    return prices, owner, sigma, rounds, active
-
-
 def solve_ell_tiered(
     cols: jax.Array,
     vals_t: jax.Array,

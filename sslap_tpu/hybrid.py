@@ -224,8 +224,9 @@ def solve_hybrid(
         if not first_phase and keep_assignment:
             # Warm-started eps-scaling: keep the previous phase's assignment
             # except eps-CS violators for the new eps (matches the device
-            # path's auction.py:unassign_violators; measured 3-10x fewer
-            # total bids than the reference-style full reset).
+            # path's auction.py:unassign_violators; ~neutral on total bids
+            # for random instances -- see PERF.md -- but kept for semantic
+            # parity with the device paths and for warm-start workloads).
             _unassign(indptr, indices, data, prices, sigma, owner, eps,
                       n_dummy)
         elif not first_phase:
@@ -233,19 +234,15 @@ def solve_hybrid(
             owner[:] = -1
         first_phase = False
         if use_device:
+            # Only the rectangular (implicit-dummy) hybrid reaches this
+            # loop; square problems took the truncated fast path above.
             d_sigma = jnp.asarray(sigma)
             d_owner = jnp.asarray(owner)
-            if n_dummy == 0:
-                d_prices, d_owner, d_sigma, rounds, _ = _device_phase_tiered(
-                    prob.cols, vals_t, prob.valid, prob.nvalid,
-                    d_prices, d_owner, d_sigma, eps, bigp, int(threshold),
-                    jnp.int32(max(max_iter - total_rounds, 0)))
-            else:
-                d_prices, d_owner, d_sigma, rounds, _ = _device_phase(
-                    prob.cols, vals_t, prob.valid, prob.nvalid,
-                    d_prices, d_owner, d_sigma, eps, bigp,
-                    jnp.int32(threshold),
-                    jnp.int32(max(max_iter - total_rounds, 0)), n_dummy)
+            d_prices, d_owner, d_sigma, rounds, _ = _device_phase(
+                prob.cols, vals_t, prob.valid, prob.nvalid,
+                d_prices, d_owner, d_sigma, eps, bigp,
+                jnp.int32(threshold),
+                jnp.int32(max(max_iter - total_rounds, 0)), n_dummy)
             total_rounds += int(rounds)
             prices = np.array(d_prices)      # host copies for the GS tail
             sigma = np.array(d_sigma)
