@@ -81,6 +81,7 @@ def auction_solve_batched(
     mesh=None,
     batch_axis: str = "batch",
     chunk: Optional[int] = None,
+    mode: str = "auto",
 ):
     """Solve a batch of independent instances; returns (sols [B, n] numpy,
     metas list).  Objectives are computed on host exactly (as in api.py).
@@ -94,12 +95,49 @@ def auction_solve_batched(
     whole batch, or 32 on single-device runs with B*n > ~10^6).  Chunking
     keeps individual executions short -- this environment's TPU tunnel is
     unstable under multi-minute single executions -- at a ~35 ms dispatch
-    cost per chunk."""
+    cost per chunk.
+
+    ``mode``: 'device' = the vmapped jitted solve; 'cpu' = the native
+    Gauss-Seidel looped over instances; 'auto' picks cpu when the native
+    toolchain is present and no mesh was given -- measured 200+ inst/s at
+    n=1024 vs ~1 inst/s for the vmapped path on this environment (the
+    vmapped while runs every lane to the slowest lane's round count, at
+    scalar-gather speed; see PERF.md)."""
     cols, vals, valid, nvalid = prob.cols, prob.vals, prob.valid, prob.nvalid
     if cols.ndim != 3:
         raise ValueError("expected batched ELLProblem with leading axis")
     B = cols.shape[0]
     t0 = time.perf_counter()
+    if mode not in ("auto", "device", "cpu"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        from sslap_tpu import hybrid as _hybrid
+        mode = "cpu" if (_hybrid.native_available() and mesh is None)             else "device"
+    if mode == "cpu":
+        from sslap_tpu import hybrid as _hybrid
+        sols = np.full((B, prob.n), -1, np.int32)
+        metas = []
+        for b in range(B):
+            sub = ELLProblem(cols=np.asarray(cols[b]),
+                             vals=np.asarray(vals[b]),
+                             valid=np.asarray(valid[b]),
+                             nvalid=np.asarray(nvalid[b]),
+                             n=prob.n, m=prob.m)
+            sol_b, _, meta_b = _hybrid.solve_hybrid(
+                sub, problem=problem, eps_start=eps_start, eps_min=eps_min,
+                theta=theta, max_iter=max_iter, mode="cpu",
+                warm_prices=None if warm_prices is None else warm_prices[b])
+            sols[b] = sol_b
+            from sslap_tpu.api import _objective_host
+            n_empty = int((np.asarray(sub.nvalid) == 0).sum())
+            unassigned = meta_b["unassigned"] + n_empty
+            metas.append(dict(meta_b, unassigned=unassigned,
+                              soln_found=unassigned == 0,
+                              obj=(_objective_host(sub, sol_b)
+                                   if unassigned == 0 else None)))
+        for mt in metas:
+            mt["time"] = time.perf_counter() - t0
+        return sols, metas
     if chunk is None and mesh is None and B * prob.n > 1_000_000 and B > 32:
         chunk = 32
     if chunk is not None and mesh is None and chunk < B:
@@ -114,7 +152,7 @@ def auction_solve_batched(
                 sub, problem=problem, eps_start=eps_start, eps_min=eps_min,
                 theta=theta, max_iter=max_iter,
                 warm_prices=None if warm_prices is None
-                else warm_prices[lo:hi], chunk=chunk)
+                else warm_prices[lo:hi], chunk=chunk, mode="device")
             sols_parts.append(s_part)
             metas.extend(m_part)
         return np.concatenate(sols_parts, axis=0), metas

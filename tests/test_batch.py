@@ -78,3 +78,45 @@ def test_batched_sharded_over_mesh():
     np.testing.assert_array_equal(sols_ref, sols_sh)
     for a, b_ in zip(metas_ref, metas_sh):
         assert a["obj"] == b_["obj"]
+
+
+def test_batched_cpu_mode_matches_device():
+    import numpy as np
+    from sslap_tpu import ingest
+    from sslap_tpu.batch import auction_solve_batched, stack_problems
+    from tests.utils import random_sparse_instance
+
+    rng = np.random.default_rng(31)
+    probs = []
+    for b in range(4):
+        loc, val, _ = random_sparse_instance(rng, 40, 40, 0.2, integer=True)
+        probs.append(ingest.from_coo(loc, val, shape=(40, 40), pad_to=14))
+    batched = stack_problems(probs)
+    s_dev, m_dev = auction_solve_batched(batched, mode="device")
+    try:
+        s_cpu, m_cpu = auction_solve_batched(batched, mode="cpu")
+    except AssertionError:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    for a, b_ in zip(m_dev, m_cpu):
+        assert a["obj"] == b_["obj"]
+
+
+def test_batched_rectangular():
+    import numpy as np
+    from sslap_tpu import ingest
+    from sslap_tpu.batch import auction_solve_batched, stack_problems
+    from tests.utils import random_sparse_instance, scipy_sparse_objective
+
+    rng = np.random.default_rng(41)
+    n, m = 24, 32
+    probs, oracles = [], []
+    for b in range(3):
+        loc, val, _ = random_sparse_instance(rng, n, m, 0.3, integer=True)
+        probs.append(ingest.from_coo(loc, val, shape=(n, m), pad_to=16))
+        oracles.append(scipy_sparse_objective(loc, val, n, m))
+    batched = stack_problems(probs)
+    sols, metas = auction_solve_batched(batched, mode="device")
+    for mt, orc in zip(metas, oracles):
+        assert mt["soln_found"]
+        assert mt["obj"] == orc
