@@ -31,6 +31,10 @@ class InfeasibleError(ValueError):
     """No perfect matching exists for the given sparsity pattern."""
 
 
+_UNSET = object()  # distinguishes "kwarg not given" from an explicit value
+                   # when merging with an AuctionConfig
+
+
 class AuctionSolution(dict):
     """Dict with attribute access: keys 'sol', 'meta' (and convenience
     properties).  Key names follow SURVEY.md SS1 item 7 ([K-med]; exact
@@ -90,17 +94,36 @@ class AuctionSolver:
         loc=None,
         val=None,
         shape: Optional[Tuple[int, int]] = None,
-        problem: str = "min",
-        eps_start=None,
-        eps_min=None,
-        theta: float = 5.0,
-        max_iter: Optional[int] = None,
-        cardinality_check: bool = True,
-        dtype=None,
+        problem=_UNSET,
+        eps_start=_UNSET,
+        eps_min=_UNSET,
+        theta=_UNSET,
+        max_iter=_UNSET,
+        cardinality_check=_UNSET,
+        dtype=_UNSET,
         pad_to: Optional[int] = None,
-        mode: str = "auto",
-        keep_assignment: bool = True,
+        mode=_UNSET,
+        keep_assignment=_UNSET,
+        config=None,
     ):
+        # Resolution order: explicit kwarg > AuctionConfig > built-in
+        # default (the reference's kwargs-first surface, SURVEY.md SS6).
+        from sslap_tpu.config import AuctionConfig
+        base = (config or AuctionConfig()).solver_kwargs()
+
+        def pick(v, key):
+            return base[key] if v is _UNSET else v
+
+        problem = pick(problem, "problem")
+        eps_start = pick(eps_start, "eps_start")
+        eps_min = pick(eps_min, "eps_min")
+        theta = pick(theta, "theta")
+        max_iter = pick(max_iter, "max_iter")
+        cardinality_check = pick(cardinality_check, "cardinality_check")
+        mode = pick(mode, "mode")
+        keep_assignment = pick(keep_assignment, "keep_assignment")
+        dtype = pick(dtype, "dtype")
+
         self.problem_spec = _ingest_any(mat=mat, loc=loc, val=val, shape=shape,
                                         dtype=dtype, pad_to=pad_to)
         if self.problem_spec.n == 0:
@@ -255,15 +278,16 @@ def auction_solve(
     loc=None,
     val=None,
     shape: Optional[Tuple[int, int]] = None,
-    problem: str = "min",
-    eps_start=None,
-    eps_min=None,
-    theta: float = 5.0,
-    max_iter: Optional[int] = None,
-    cardinality_check: bool = True,
-    dtype=None,
-    mode: str = "auto",
-    keep_assignment: bool = True,
+    problem=_UNSET,
+    eps_start=_UNSET,
+    eps_min=_UNSET,
+    theta=_UNSET,
+    max_iter=_UNSET,
+    cardinality_check=_UNSET,
+    dtype=_UNSET,
+    mode=_UNSET,
+    keep_assignment=_UNSET,
+    config=None,
 ) -> AuctionSolution:
     """Solve a (sparse) linear assignment problem with the auction algorithm.
 
@@ -291,7 +315,7 @@ def auction_solve(
         mat, loc=loc, val=val, shape=shape, problem=problem,
         eps_start=eps_start, eps_min=eps_min, theta=theta, max_iter=max_iter,
         cardinality_check=cardinality_check, dtype=dtype, mode=mode,
-        keep_assignment=keep_assignment)
+        keep_assignment=keep_assignment, config=config)
     return solver.solve()
 
 

@@ -1,7 +1,14 @@
 """Frozen solver configuration (SURVEY.md SS6 'Config / flag system').
 
-The reference's config surface is function kwargs only; we mirror that in
-the public API (api.py) and normalize into this dataclass internally.
+The reference's config surface is function kwargs only; the public API
+mirrors that, and ``AuctionConfig`` bundles the same knobs for reuse
+across many solves (tracking workloads that re-solve similar instances):
+
+    cfg = AuctionConfig(problem="max", theta=10.0, mode="cpu")
+    res = auction_solve(mat, config=cfg)
+    solver = AuctionSolver(loc=loc, val=val, shape=(n, m), config=cfg)
+
+Explicit kwargs always override the config's values.
 """
 
 from __future__ import annotations
@@ -12,20 +19,22 @@ from typing import Optional
 
 @dataclasses.dataclass(frozen=True)
 class AuctionConfig:
+    """Bundle of auction_solve/AuctionSolver keyword defaults.
+
+    Determinism contract carried by every path (SURVEY.md SS8.2 item 2):
+    a row picks the highest value then the lowest column index; a column
+    picks the highest bid then the lowest row id.
+    """
+
     problem: str = "min"                 # 'min' | 'max'
     eps_start: Optional[float] = None    # default: ~(cost range)/2 (scaled)
-    eps_min: Optional[float] = None      # default: 1 (int) | 1/(n+1) (float)
+    eps_min: Optional[float] = None      # default: 1 (int) | 1/(m+1) (float)
     theta: float = 5.0                   # geometric eps divisor
-    max_iter: Optional[int] = None       # Jacobi rounds cap (safety valve)
+    max_iter: Optional[int] = None       # round cap (safety valve)
     cardinality_check: bool = True       # Hopcroft-Karp pre-check
-    # Kernel/layout selection:
-    use_pallas: Optional[bool] = None    # None = auto (TPU and shapes allow)
-    # Distribution (parallel/sharded.py):
-    mesh: Optional[object] = None
-    row_axis: str = "rows"
-    # Determinism contract (documented tie-break, SURVEY.md SS8.2 item 2):
-    #   row picks highest value then lowest column index;
-    #   column picks highest bid then lowest row index.
+    mode: str = "auto"                   # 'auto'|'device'|'hybrid'|'cpu'
+    keep_assignment: bool = True         # warm-started eps phases
+    dtype: Optional[object] = None       # force device dtype
 
     def __post_init__(self):
         if self.problem not in ("min", "max"):
@@ -33,3 +42,19 @@ class AuctionConfig:
                 f"problem must be 'min' or 'max', got {self.problem!r}")
         if self.theta <= 1:
             raise ValueError("theta must be > 1")
+        if self.mode not in ("auto", "device", "hybrid", "cpu"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+
+    def solver_kwargs(self) -> dict:
+        """The kwargs this config supplies to AuctionSolver."""
+        return {
+            "problem": self.problem,
+            "eps_start": self.eps_start,
+            "eps_min": self.eps_min,
+            "theta": self.theta,
+            "max_iter": self.max_iter,
+            "cardinality_check": self.cardinality_check,
+            "mode": self.mode,
+            "keep_assignment": self.keep_assignment,
+            "dtype": self.dtype,
+        }

@@ -86,3 +86,23 @@ def test_hopcroft_standalone_rectangular():
     for i, j in enumerate(match):
         if j >= 0:
             assert mask[i, j]
+
+
+def test_auction_config_applies_and_overrides():
+    from sslap_tpu import AuctionConfig
+    rng = np.random.default_rng(6)
+    C = rng.integers(1, 30, (12, 12))
+    cfg = AuctionConfig(problem="max", theta=10.0, mode="device",
+                        cardinality_check=False)
+    res = auction_solve(C, config=cfg)
+    from scipy.optimize import linear_sum_assignment as scipy_lsa
+    r, c = scipy_lsa(C, maximize=True)
+    assert res["meta"]["obj"] == int(C[r, c].sum())
+    # explicit kwarg beats the config
+    res2 = auction_solve(C, config=cfg, problem="min")
+    r, c = scipy_lsa(C)
+    assert res2["meta"]["obj"] == int(C[r, c].sum())
+    with pytest.raises(ValueError):
+        AuctionConfig(theta=0.5)
+    with pytest.raises(ValueError):
+        AuctionConfig(mode="gpu")
