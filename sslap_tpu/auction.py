@@ -35,7 +35,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from sslap_tpu.ingest import ELLProblem
 
 # Sentinel used *only inside max-reductions / masked selects*; never fed into
 # bid arithmetic (see the has-second-best select below), so no overflow.
@@ -260,10 +259,12 @@ def unassign_violators(
 
     This is the auction algorithm's standard warm-started eps-scaling: the
     surviving partial assignment satisfies eps-CS for the new eps and prices
-    never decrease, so correctness/termination arguments are unchanged --
-    but each phase now re-auctions only the violating rows instead of all n
-    (the reference resets every phase; measured here this cuts total rounds
-    by ~3-10x on random sparse instances).
+    never decrease, so correctness/termination arguments are unchanged.
+    Each phase then re-auctions only the violating rows instead of all n
+    (the reference resets every phase).  Measured impact on random sparse
+    instances is roughly neutral (~50-70% of rows violate at theta = 5; see
+    PERF.md), but the warm start is what phase truncation and warm-priced
+    re-solves build on.
 
     ``sigma`` may be a local row shard; ``owner``/``prices`` are replicas.
     In the sharded path each shard frees only its own rows' columns, so the

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 import jax

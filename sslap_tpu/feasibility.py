@@ -15,7 +15,7 @@ O(E * sqrt(V)).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -22,8 +22,6 @@ compute_bids on CPU (tests/test_ops.py).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

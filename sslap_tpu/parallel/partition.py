@@ -7,7 +7,6 @@ rows are contiguous so global row ids are shard_offset + local index.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from sslap_tpu.ingest import ELLProblem
 

@@ -21,7 +21,6 @@ knowledge are still correct, which is also what will make the overlapped
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Optional
 
@@ -29,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from sslap_tpu import auction as _auction
