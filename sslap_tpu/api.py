@@ -77,9 +77,11 @@ def _objective_host(prob: ELLProblem, sol: np.ndarray) -> float:
     hit = (cols[rows] == sol[rows, None]) & valid[rows]
     # every assigned (row, col) must be a stored valid entry
     slot = hit.argmax(axis=1)
-    acc_dtype = np.int64 if np.issubdtype(vals.dtype, np.integer) else np.float64
+    integral = np.issubdtype(vals.dtype, np.integer) or prob.int_exact
+    acc_dtype = np.int64 if np.issubdtype(vals.dtype, np.integer) \
+        else np.float64
     obj = vals[rows, slot].astype(acc_dtype).sum()
-    return int(obj) if acc_dtype is np.int64 else float(obj)
+    return int(round(float(obj))) if integral else float(obj)
 
 
 class AuctionSolver:
@@ -148,10 +150,12 @@ class AuctionSolver:
         vals = np.asarray(prob.vals)
         valid = np.asarray(prob.valid)
         vmax_abs = float(np.abs(vals[valid]).max()) if valid.any() else 0.0
-        tr = _auction.make_transform(self.problem, prob.m, vals.dtype, vmax_abs)
+        tr = _auction.make_transform(self.problem, prob.m, vals.dtype,
+                                     vmax_abs, int_exact=prob.int_exact)
         e0, e_min, theta = _auction.default_eps_schedule(
             vals.dtype, vmax_abs, prob.m, tr.scale,
-            eps_min=self.eps_min, eps_start=self.eps_start, theta=self.theta)
+            eps_min=self.eps_min, eps_start=self.eps_start, theta=self.theta,
+            int_exact=prob.int_exact)
         max_iter = (self.max_iter if self.max_iter is not None
                     else _auction.default_max_iter(prob.n))
         if warm_prices is None:
@@ -161,9 +165,21 @@ class AuctionSolver:
         return tr, e0, e_min, theta, max_iter, p0
 
     def _resolve_mode(self) -> str:
+        from sslap_tpu import hybrid as _hybrid
+        if np.asarray(self.problem_spec.vals).dtype == np.float64:
+            # float64 rides the native CPU path only: TPUs have no fast f64
+            # and JAX disables x64 by default.
+            if not _hybrid.native_available():
+                raise ValueError(
+                    "float64 costs need the native toolchain (no fast f64 "
+                    "on TPU); use float32 or enable the native build")
+            if self.mode in ("device", "hybrid"):
+                raise ValueError(
+                    "float64 costs are solved on the native CPU path; use "
+                    "mode='cpu' or 'auto'")
+            return "cpu"
         if self.mode != "auto":
             return self.mode
-        from sslap_tpu import hybrid as _hybrid
         # Measured on this environment (1-vCPU host + tunneled v5e with
         # ~15us/kernel launch latency and scalar-speed random gather): the
         # native Gauss-Seidel wins single instances at every size tested

@@ -449,12 +449,23 @@ class Transform:
         return vals * s
 
 
-def make_transform(problem: str, size: int, dtype, vmax_abs: float) -> Transform:
+def make_transform(problem: str, size: int, dtype, vmax_abs: float,
+                   int_exact: bool = False) -> Transform:
     """``size`` is the effective square dimension (= m: rectangular problems
-    are implicitly square-extended, so the eps-optimality bound is m * eps)."""
+    are implicitly square-extended, so the eps-optimality bound is m * eps).
+    ``int_exact``: integer values stored in float64 (ingest routed them
+    there because the int32 range was exceeded) -- scaled like the integer
+    path, exact while every intermediate stays below 2**53."""
     if problem not in ("min", "max"):
         raise ValueError(f"problem must be 'min' or 'max', got {problem!r}")
     sign = 1 if problem == "max" else -1
+    if int_exact:
+        scale = size + 1
+        if vmax_abs * scale >= 2 ** 50:
+            raise ValueError(
+                f"integer costs too large for the exact float64 path: "
+                f"max|cost| * (m+1) = {vmax_abs * scale:.3g} >= 2**50")
+        return Transform(sign=sign, scale=scale)
     if jnp.issubdtype(jnp.dtype(dtype), jnp.integer):
         scale = size + 1
         # 2**26 keeps every intermediate (prices bounded by
@@ -472,19 +483,26 @@ def make_transform(problem: str, size: int, dtype, vmax_abs: float) -> Transform
 
 
 def default_eps_schedule(dtype, vmax_abs: float, size: int, scale: int,
-                         eps_min=None, eps_start=None, theta=5):
-    """(eps0, eps_min, theta) defaults. Integer path: geometric from
-    ~C/2 down to 1 (exact).  Float path: down to 1/(size+1), floored by f32
-    resolution of the cost range so prices keep moving (SURVEY.md SS8.2.3).
-    ``size`` = effective square dimension m (see make_transform)."""
+                         eps_min=None, eps_start=None, theta=5,
+                         int_exact: bool = False):
+    """(eps0, eps_min, theta) defaults. Integer path (int32 or int_exact
+    float64): geometric from ~C/2 down to 1 (exact).  Float path: down to
+    1/(size+1), floored by the dtype's resolution of the cost range so
+    prices keep moving (SURVEY.md SS8.2.3).  ``size`` = effective square
+    dimension m (see make_transform)."""
     dtype = jnp.dtype(dtype)
     c = float(vmax_abs) * scale
+    if int_exact:
+        e_min = 1.0 if eps_min is None else float(eps_min)
+        e0 = float(eps_start) if eps_start is not None else max(c / 2, e_min)
+        return e0, e_min, float(theta)
     if jnp.issubdtype(dtype, jnp.integer):
         e_min = 1 if eps_min is None else int(eps_min)
         e0 = int(eps_start) if eps_start is not None else max(int(c / 2), e_min)
         return e0, e_min, int(theta)
     if eps_min is None:
-        e_min = max(1.0 / (size + 1), c * 1e-6)
+        res = 1e-12 if dtype == jnp.float64 else 1e-6
+        e_min = max(1.0 / (size + 1), c * res)
     else:
         e_min = float(eps_min)
     e0 = float(eps_start) if eps_start is not None else max(c / 2.0, e_min)

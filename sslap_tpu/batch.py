@@ -48,7 +48,8 @@ def stack_problems(probs: Sequence[ELLProblem]) -> ELLProblem:
     valid = np.stack([pad(p.valid, 1, False) for p in probs])
     nvalid = np.stack([np.asarray(p.nvalid) for p in probs])
     return ELLProblem(cols=cols, vals=vals, valid=valid, nvalid=nvalid,
-                      n=n, m=m)
+                      n=n, m=m,
+                      int_exact=any(p.int_exact for p in probs))
 
 
 def batch_from_dense(mats: np.ndarray, **kw) -> ELLProblem:

@@ -143,10 +143,12 @@ def solve_hybrid(
     valid_np = np.asarray(prob.valid)
     dtype = vals_np.dtype
     vmax_abs = float(np.abs(vals_np[valid_np]).max()) if valid_np.any() else 0.0
-    tr = _auction.make_transform(problem, m, dtype, vmax_abs)
+    tr = _auction.make_transform(problem, m, dtype, vmax_abs,
+                                 int_exact=prob.int_exact)
     e0, e_min, theta_v = _auction.default_eps_schedule(
         dtype, vmax_abs, m, tr.scale,
-        eps_min=eps_min, eps_start=eps_start, theta=theta)
+        eps_min=eps_min, eps_start=eps_start, theta=theta,
+        int_exact=prob.int_exact)
     if max_iter is None:
         max_iter = _auction.default_max_iter(n)
 
@@ -156,7 +158,7 @@ def solve_hybrid(
         bigp = (tmax - tmin) + (1 if np.issubdtype(dtype, np.integer) else 1.0)
     else:
         bigp = 1
-    is_int = np.issubdtype(dtype, np.integer)
+    is_int = np.issubdtype(dtype, np.integer) or prob.int_exact
 
     prices = np.zeros(m, dtype) if warm_prices is None else \
         np.array(warm_prices, dtype)

@@ -54,6 +54,9 @@ class ELLProblem:
       valid:  bool [n, K] True for real entries.
       nvalid: int32 [n] number of valid entries per row.
       n, m:   problem shape (rows <= cols required by the solver).
+      int_exact: values are integers stored in float64 (costs too large for
+              the int32 path); solved exactly via (m+1) scaling in f64
+              (exact while |cost| * (m+1) < 2**50).
     """
 
     cols: jax.Array
@@ -62,6 +65,7 @@ class ELLProblem:
     nvalid: jax.Array
     n: int
     m: int
+    int_exact: bool = False
 
     @property
     def K(self) -> int:
@@ -72,25 +76,42 @@ class ELLProblem:
         return int(np.asarray(self.nvalid).sum())
 
     def tree_flatten(self):
-        return (self.cols, self.vals, self.valid, self.nvalid), (self.n, self.m)
+        return ((self.cols, self.vals, self.valid, self.nvalid),
+                (self.n, self.m, self.int_exact))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         cols, vals, valid, nvalid = children
-        n, m = aux
-        return cls(cols=cols, vals=vals, valid=valid, nvalid=nvalid, n=n, m=m)
+        n, m, int_exact = aux
+        return cls(cols=cols, vals=vals, valid=valid, nvalid=nvalid,
+                   n=n, m=m, int_exact=int_exact)
 
 
-def _solver_dtype(vals: np.ndarray, dtype=None) -> np.dtype:
-    """Pick the on-device dtype: int32 for integer inputs (exact arithmetic
-    path), float32 otherwise.  TPU has no fast f64; exactness for integer
-    costs is instead guaranteed by int32 arithmetic + (n+1) cost scaling
-    (SURVEY.md SS8.2 item 3)."""
+def _solver_dtype(vals: np.ndarray, dtype=None, m: int = 0):
+    """Pick the solver dtype and exact-integer flag.
+
+    Integers ride int32 (exact via (m+1) scaling) while the scaled range
+    fits 2**26; larger integer costs are routed to float64 (exact while
+    |cost| * (m+1) < 2**50) and solved on the native CPU path -- TPU has no
+    fast f64.  Floats default to float32 (TPU-native, eps-optimal); pass
+    dtype=np.float64 explicitly for reference-grade f64 tolerance on the
+    CPU path.  Returns (np.dtype, int_exact: bool)."""
     if dtype is not None:
-        return np.dtype(dtype)
-    if np.issubdtype(vals.dtype, np.integer) or np.issubdtype(vals.dtype, np.bool_):
-        return np.dtype(np.int32)
-    return np.dtype(np.float32)
+        d = np.dtype(dtype)
+        return d, bool(d == np.float64 and
+                       (np.issubdtype(vals.dtype, np.integer) or
+                        np.issubdtype(vals.dtype, np.bool_)))
+    if np.issubdtype(vals.dtype, np.integer) or \
+            np.issubdtype(vals.dtype, np.bool_):
+        vmax = int(np.abs(vals).max()) if vals.size else 0
+        if vmax * (m + 1) < 2 ** 26:
+            return np.dtype(np.int32), False
+        if vmax * (m + 1) < 2 ** 50:
+            return np.dtype(np.float64), True
+        raise ValueError(
+            f"integer costs too large for exact arithmetic: "
+            f"max|cost| * (m+1) = {vmax * (m + 1):.3g} >= 2**50")
+    return np.dtype(np.float32), False
 
 
 def _build_ell_from_coo(
@@ -101,6 +122,7 @@ def _build_ell_from_coo(
     m: int,
     dtype: np.dtype,
     pad_to: Optional[int] = None,
+    int_exact: bool = False,
 ) -> ELLProblem:
     nnz = rr.shape[0]
     if nnz == 0:
@@ -112,6 +134,7 @@ def _build_ell_from_coo(
             nvalid=np.zeros((n,), np.int32),
             n=n,
             m=m,
+            int_exact=int_exact,
         )
     native = _native_builder()
     if native is not None:
@@ -122,6 +145,7 @@ def _build_ell_from_coo(
             return ELLProblem(
                 cols=cols, vals=vals, valid=valid,
                 nvalid=counts.astype(np.int32), n=n, m=m,
+                int_exact=int_exact,
             )
     # Numpy fallback path.
     # Sort by (row, col): within-row ascending columns give the deterministic
@@ -152,6 +176,7 @@ def _build_ell_from_coo(
         nvalid=counts.astype(np.int32),
         n=n,
         m=m,
+        int_exact=int_exact,
     )
 
 
@@ -180,9 +205,10 @@ def from_dense(
     rr, cc = np.nonzero(valid)
     vv = mat[rr, cc]
     del require_nonnegative  # the >= 0 mask already enforces it for dense
+    sdt, int_exact = _solver_dtype(vv if vv.size else mat, dtype, m=m)
     return _build_ell_from_coo(
-        rr.astype(np.int64), cc.astype(np.int64), vv, n, m,
-        _solver_dtype(vv if vv.size else mat, dtype), pad_to=pad_to,
+        rr.astype(np.int64), cc.astype(np.int64), vv, n, m, sdt,
+        pad_to=pad_to, int_exact=int_exact,
     )
 
 
@@ -230,8 +256,9 @@ def from_coo(
         )
     if np.issubdtype(val.dtype, np.floating) and not np.isfinite(val).all():
         raise ValueError("non-finite values in val")
-    return _build_ell_from_coo(rr, cc, val, n, m, _solver_dtype(val, dtype),
-                               pad_to=pad_to)
+    sdt, int_exact = _solver_dtype(val, dtype, m=m)
+    return _build_ell_from_coo(rr, cc, val, n, m, sdt,
+                               pad_to=pad_to, int_exact=int_exact)
 
 
 def from_csr(

@@ -65,6 +65,7 @@ def _declare(lib: ctypes.CDLL) -> None:
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
     b8p = ctypes.POINTER(ctypes.c_bool)
     lib.sslap_hopcroft_karp.restype = ctypes.c_int64
     lib.sslap_hopcroft_karp.argtypes = [
@@ -76,6 +77,10 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.sslap_ell_fill_f32.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         i64p, i64p, f32p, i64p, i64p, i32p, f32p, b8p]
+    lib.sslap_ell_fill_f64.restype = None
+    lib.sslap_ell_fill_f64.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, f64p, i64p, i64p, i32p, f64p, b8p]
     lib.sslap_ell_fill_i32.restype = None
     lib.sslap_ell_fill_i32.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -90,6 +95,15 @@ def _declare(lib: ctypes.CDLL) -> None:
         ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p,
         i32p, i32p, i32p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int64]
+    lib.sslap_auction_gs_f64.restype = ctypes.c_int64
+    lib.sslap_auction_gs_f64.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i32p, f64p,
+        f64p, i32p, i32p, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_int64]
+    lib.sslap_unassign_violators_f64.restype = None
+    lib.sslap_unassign_violators_f64.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i32p, f64p,
+        f64p, i32p, i32p, ctypes.c_double, ctypes.c_int64]
     lib.sslap_auction_gs_pf_f32.restype = ctypes.c_int64
     lib.sslap_auction_gs_pf_f32.argtypes = lib.sslap_auction_gs_f32.argtypes
     lib.sslap_auction_gs_pf_i32.restype = ctypes.c_int64
@@ -156,6 +170,9 @@ def auction_gs(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
         fn = lib.sslap_auction_gs_pf_f32 if prefetch else             lib.sslap_auction_gs_f32
         ct = ctypes.c_float
         assert vals.dtype == np.float32
+    elif prices.dtype == np.float64:
+        fn, ct = lib.sslap_auction_gs_f64, ctypes.c_double
+        assert vals.dtype == np.float64
     elif prices.dtype == np.int32:
         fn = lib.sslap_auction_gs_pf_i32 if prefetch else             lib.sslap_auction_gs_i32
         ct = ctypes.c_int32
@@ -217,6 +234,8 @@ def unassign_violators_native(indptr: np.ndarray, indices: np.ndarray,
     indices = np.ascontiguousarray(indices, np.int32)
     if prices.dtype == np.float32:
         fn, ct = lib.sslap_unassign_violators_f32, ctypes.c_float
+    elif prices.dtype == np.float64:
+        fn, ct = lib.sslap_unassign_violators_f64, ctypes.c_double
     elif prices.dtype == np.int32:
         fn, ct = lib.sslap_unassign_violators_i32, ctypes.c_int32
     else:
@@ -238,6 +257,8 @@ def build_ell_native(rr: np.ndarray, cc: np.ndarray, vv: np.ndarray,
     dtype = np.dtype(dtype)
     if dtype == np.float32:
         fill, ct = lib.sslap_ell_fill_f32, ctypes.c_float
+    elif dtype == np.float64:
+        fill, ct = lib.sslap_ell_fill_f64, ctypes.c_double
     elif dtype == np.int32:
         fill, ct = lib.sslap_ell_fill_i32, ctypes.c_int32
     else:

@@ -169,6 +169,26 @@ void sslap_ell_fill_f32(int64_t nnz, int64_t n, int64_t K,
   }
 }
 
+void sslap_ell_fill_f64(int64_t nnz, int64_t n, int64_t K,
+                        const int64_t* rr, const int64_t* cc,
+                        const double* vv, const int64_t* perm,
+                        const int64_t* counts,
+                        int32_t* ell_cols, double* ell_vals,
+                        bool* ell_valid) {
+  std::memset(ell_cols, 0, sizeof(int32_t) * n * K);
+  std::memset(ell_vals, 0, sizeof(double) * n * K);
+  std::memset(ell_valid, 0, sizeof(bool) * n * K);
+  int64_t pos = 0;
+  for (int64_t u = 0; u < n; ++u) {
+    for (int64_t s = 0; s < counts[u]; ++s, ++pos) {
+      int64_t k = perm[pos];
+      ell_cols[u * K + s] = static_cast<int32_t>(cc[k]);
+      ell_vals[u * K + s] = vv[k];
+      ell_valid[u * K + s] = true;
+    }
+  }
+}
+
 void sslap_ell_fill_i32(int64_t nnz, int64_t n, int64_t K,
                         const int64_t* rr, const int64_t* cc,
                         const int32_t* vv, const int64_t* perm,
@@ -447,6 +467,25 @@ int64_t sslap_auction_gs_i32(int64_t n, int64_t m, const int64_t* indptr,
   return auction_gs<int32_t, false>(n, m, indptr, indices, vals, prices,
                                     sigma, owner, eps, bigp, n_dummy_total,
                                     max_bids);
+}
+
+int64_t sslap_auction_gs_f64(int64_t n, int64_t m, const int64_t* indptr,
+                             const int32_t* indices, const double* vals,
+                             double* prices, int32_t* sigma, int32_t* owner,
+                             double eps, double bigp, int64_t n_dummy_total,
+                             int64_t max_bids) {
+  return auction_gs<double, false>(n, m, indptr, indices, vals, prices,
+                                   sigma, owner, eps, bigp, n_dummy_total,
+                                   max_bids);
+}
+
+void sslap_unassign_violators_f64(int64_t n, int64_t m, const int64_t* indptr,
+                                  const int32_t* indices, const double* vals,
+                                  double* prices, int32_t* sigma,
+                                  int32_t* owner, double eps,
+                                  int64_t n_dummy_total) {
+  unassign_violators<double>(n, m, indptr, indices, vals, prices, sigma,
+                             owner, eps, n_dummy_total);
 }
 
 // Prefetching fast path (the framework's production GS; the plain variants

@@ -55,10 +55,14 @@ def test_duplicate_coo_rejected():
         auction_solve(loc=loc, val=np.array([1.0, 2.0]), shape=(1, 1))
 
 
-def test_int_overflow_guard():
+def test_int_range_routing():
+    """Costs beyond the int32 exact range route to the float64 path (still
+    exact); truly huge integers (>= 2**50 scaled) are rejected."""
     C = np.full((50, 50), 2 ** 24, dtype=np.int64)
+    res = auction_solve(C)                      # f64 path, exact
+    assert res["meta"]["obj"] == 50 * 2 ** 24
     with pytest.raises(ValueError):
-        auction_solve(C)  # max|cost| * (m+1) >= 2**26 -> exactness guard
+        auction_solve(np.full((50, 50), 2 ** 46, dtype=np.int64))
 
 
 def test_nan_dense_is_forbidden():
@@ -108,3 +112,46 @@ def test_warm_start_faster_or_equal_rounds():
     warm = warm_solver.solve(warm_prices=s.prices)
     assert warm["meta"]["obj"] == pytest.approx(cold["meta"]["obj"], abs=1.0)
     assert warm["meta"]["its"] < cold["meta"]["its"]
+
+
+def test_float64_explicit_dtype_tight_tolerance():
+    """Explicit float64 rides the native CPU path with reference-grade
+    (sslap f64) tolerance."""
+    from sslap_tpu.hybrid import native_available
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(17)
+    loc, val, _ = random_sparse_instance(rng, 300, 300, 0.08, integer=False)
+    res = auction_solve(loc=loc, val=val.astype(np.float64),
+                        shape=(300, 300), dtype=np.float64,
+                        cardinality_check=False)
+    assert res["meta"]["soln_found"]
+    assert res["meta"]["mode"] == "cpu"
+    oracle = scipy_sparse_objective(loc, val, 300, 300)
+    # f64 path: eps-optimal to ~m * eps_min = ~1; in practice much tighter
+    assert abs(res["meta"]["obj"] - oracle) <= 1.0
+
+
+def test_float64_rejects_device_mode():
+    from sslap_tpu.hybrid import native_available
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    C = np.random.default_rng(0).random((8, 8))
+    with pytest.raises(ValueError):
+        auction_solve(C, dtype=np.float64, mode="device")
+
+
+def test_big_integer_costs_exact_via_float64():
+    """Integer costs whose (m+1)-scaled range exceeds int32 are routed to
+    the exact float64 path automatically (the int32 path would refuse)."""
+    from sslap_tpu.hybrid import native_available
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(23)
+    n = 64
+    C = rng.integers(1, 10 ** 7, (n, n))       # 1e7 * 65 >> 2**26
+    res = auction_solve(C)
+    from scipy.optimize import linear_sum_assignment as scipy_lsa
+    r, c = scipy_lsa(C)
+    assert res["meta"]["obj"] == int(C[r, c].sum())
+    assert isinstance(res["meta"]["obj"], int)
