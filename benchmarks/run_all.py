@@ -198,8 +198,51 @@ def sol_calibration(small=False):
             "nnz_per_s_upper_bound": n * K / dt, "time": dt}
 
 
+def scale_smoke(small=False):
+    """Single-chip capacity smoke toward config 5's 10M x 10M: ingest +
+    feasibility + bounded device rounds at the largest instance one v5e
+    holds.  Measured: the [n, K] ELL layout pads K (~33 at 10 nnz/row) to
+    128 lanes, so a 10M-row instance needs ~16 GB > one chip's HBM -- the
+    10M x 10M config genuinely requires the multi-chip row partition it is
+    specified with (>= 2-4 chips; >= 2 hosts for the DCN measurement).
+    This smoke runs 4M rows (~40M nnz) to prove memory/layout/index-width
+    viability at almost half the pod-scale row count."""
+    import jax
+    import jax.numpy as jnp
+    from sslap_tpu import ingest as _ingest
+    from sslap_tpu import auction as _auction
+    from sslap_tpu import feasibility as _feas
+    n = 1_000_000 if small else 4_000_000
+    t0 = time.perf_counter()
+    loc, val = make_sparse(n, n, 10, seed=7)
+    t_gen = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    prob = _ingest.from_coo(loc, val, shape=(n, n))
+    t_ing = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    feasible = _feas.is_feasible(prob)
+    t_hk = time.perf_counter() - t0
+    # Bounded sharded-style rounds on the available mesh (full-width).
+    tr = _auction.make_transform("min", n, np.asarray(prob.vals).dtype,
+                                 float(val.max()))
+    vals_t = tr.apply(prob.vals)
+    e0, e_min, th = _auction.default_eps_schedule(
+        np.asarray(prob.vals).dtype, float(val.max()), n, tr.scale)
+    t0 = time.perf_counter()
+    res = jax.jit(lambda *a: _auction.solve_ell(*a, e0, e_min, th, 20))(
+        prob.cols, vals_t, prob.valid, prob.nvalid,
+        jnp.zeros((n,), vals_t.dtype))
+    unassigned = int(np.asarray(res.unassigned))
+    t_rounds = time.perf_counter() - t0
+    return {"config": "scale-smoke", "n": n, "nnz": len(val),
+            "gen_s": round(t_gen, 1), "ingest_s": round(t_ing, 1),
+            "hk_feasible": bool(feasible), "hk_s": round(t_hk, 1),
+            "rounds": 20, "rounds_s": round(t_rounds, 1),
+            "assigned_after_20_rounds": n - unassigned}
+
+
 CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4,
-           "5": config5, "sol": sol_calibration}
+           "5": config5, "sol": sol_calibration, "scale": scale_smoke}
 
 
 def main():
