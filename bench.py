@@ -23,6 +23,17 @@ import time
 
 import numpy as np
 
+# Persistent XLA compile cache: the 1M-shape hybrid program takes minutes
+# to compile cold; cached, a later bench run starts in seconds.  (Set via
+# jax.config: this environment's sitecustomize imports jax before any env
+# var here could take effect.)
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
