@@ -284,8 +284,9 @@ def _solve_jit(cols, vals_t, valid, nvalid, p0, eps0, eps_min, theta,
 def _solve_tiered_jit(cols, vals_t, valid, nvalid, p0, eps0, eps_min, theta,
                       max_iter):
     from sslap_tpu import compact as _compact
-    return _compact.solve_ell_tiered(cols, vals_t, valid, nvalid, p0,
-                                     eps0, eps_min, theta, max_iter)
+    res, _ = _compact.solve_ell_tiered(cols, vals_t, valid, nvalid, p0,
+                                       eps0, eps_min, theta, max_iter)
+    return res
 
 
 def auction_solve(

@@ -256,7 +256,9 @@ def solve_ell_tiered(
     tiers: Optional[Tuple[int, ...]] = None,
     bigp=None,
     trunc=0,
-) -> _auction.SolveResult:
+    init_state: Optional[TieredState] = None,
+    max_phases: Optional[int] = None,
+):
     """eps-scaled tiered-compaction solve for square effective problems
     (no implicit dummies).  Same result contract as auction.solve_ell.
 
@@ -266,7 +268,14 @@ def solve_ell_tiered(
     Used by the hybrid driver, whose single native host GS pass at eps_min
     completes the assignment -- correctness only needs the *final* phase
     completed at eps_min; truncated earlier phases merely precondition
-    prices."""
+    prices.
+
+    Resume / checkpoint: ``max_phases`` bounds the eps phases run in THIS
+    call; pass the previous call's state back as ``init_state`` to
+    continue (use solve_state() to build one from host arrays).  Phase
+    boundaries are exact resume points -- (prices, owner, sigma, eps) is
+    the whole algorithm state (SURVEY.md SS6 'Checkpoint / resume'), so a
+    periodic host snapshot between calls makes long solves crash-proof."""
     n, K = cols.shape
     m = p0.shape[0]
     dtype = vals_t.dtype
@@ -315,20 +324,28 @@ def solve_ell_tiered(
         return st._replace(prices=prices, owner=owner, sigma=sigma,
                            rounds=rounds, phases=st.phases + 1)
 
-    # First phase (everything unassigned), then eps-descent phases.
-    init = TieredState(
-        prices=p0.astype(dtype),
-        owner=jnp.full((m,), -1, jnp.int32),
-        sigma=jnp.full((n,), -1, jnp.int32),
-        eps=eps0,
-        rounds=jnp.int32(0),
-        phases=jnp.int32(0),
-    )
-    st = run_phase(init, first=True)
+    # First phase (everything unassigned) unless resuming from a phase
+    # boundary, then eps-descent phases.
+    if init_state is None:
+        init = TieredState(
+            prices=p0.astype(dtype),
+            owner=jnp.full((m,), -1, jnp.int32),
+            sigma=jnp.full((n,), -1, jnp.int32),
+            eps=eps0,
+            rounds=jnp.int32(0),
+            phases=jnp.int32(0),
+        )
+        st = run_phase(init, first=True)
+    else:
+        st = init_state._replace(
+            prices=jnp.asarray(init_state.prices, dtype),
+            eps=jnp.asarray(init_state.eps, dtype))
+    phase_budget = (jnp.int32(2 ** 30) if max_phases is None
+                    else st.phases + jnp.int32(max_phases))
 
     def outer_cond(carry):
         st, done = carry
-        return jnp.logical_not(done)
+        return jnp.logical_not(done) & (st.phases < phase_budget)
 
     def outer_body(carry):
         st, _ = carry
@@ -341,7 +358,8 @@ def solve_ell_tiered(
     st, _ = lax.while_loop(outer_cond, outer_body, (st, done0))
 
     unassigned = jnp.sum((st.sigma < 0) & (nvalid > 0)).astype(jnp.int32)
-    return _auction.SolveResult(
+    result = _auction.SolveResult(
         sigma=st.sigma, prices=st.prices, rounds=st.rounds,
         phases=st.phases, final_eps=st.eps, unassigned=unassigned,
     )
+    return result, st

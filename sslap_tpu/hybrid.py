@@ -79,9 +79,10 @@ def _device_truncated_solve(cols, vals_t, valid, nvalid, p0,
     state shuttle was measured at up to seconds per MB on this TPU tunnel
     and dominated the old per-phase hybrid."""
     from sslap_tpu import compact as _compact
-    return _compact.solve_ell_tiered(cols, vals_t, valid, nvalid, p0,
-                                     eps0, eps_min, theta, max_iter,
-                                     bigp=bigp, trunc=trunc)
+    res, _ = _compact.solve_ell_tiered(cols, vals_t, valid, nvalid, p0,
+                                       eps0, eps_min, theta, max_iter,
+                                       bigp=bigp, trunc=trunc)
+    return res
 
 
 @functools.partial(jax.jit, static_argnames=("n_dummy",))

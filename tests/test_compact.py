@@ -79,7 +79,7 @@ def test_truncated_solve_completed_by_gs_reference():
     vals_t = -jnp.asarray(prob.vals)
     e0, e_min, theta = A.default_eps_schedule(np.float32, float(val.max()),
                                               n, 1)
-    res = C.solve_ell_tiered(
+    res, _ = C.solve_ell_tiered(
         jnp.asarray(prob.cols), vals_t, jnp.asarray(prob.valid),
         jnp.asarray(prob.nvalid), jnp.zeros((n,), jnp.float32),
         e0, e_min, theta, 100_000, trunc=8)
@@ -108,3 +108,27 @@ def test_truncated_solve_completed_by_gs_reference():
         dense_obj += float(valsA[i, k])
     oracle = scipy_sparse_objective(loc, val, n, n)
     assert abs(dense_obj - oracle) <= 1.0
+
+
+def test_phase_chunked_resume_matches_single_call():
+    """Running the tiered solve 2 phases at a time with state resume must
+    reproduce the single-call solve exactly (phase boundaries are exact
+    resume/checkpoint points)."""
+    rng = np.random.default_rng(19)
+    loc, val, _ = random_sparse_instance(rng, 96, 96, 0.15, integer=True)
+    prob = I.from_coo(loc, val, shape=(96, 96))
+    vals_t = -jnp.asarray(prob.vals) * 97      # min -> max, (m+1) scaling
+    e0, e_min, theta = A.default_eps_schedule(np.int32, float(val.max()),
+                                              96, 97)
+    args = (jnp.asarray(prob.cols), vals_t, jnp.asarray(prob.valid),
+            jnp.asarray(prob.nvalid), jnp.zeros((96,), jnp.int32),
+            e0, e_min, theta, 100_000)
+    ref, _ = C.solve_ell_tiered(*args)
+    st = None
+    for _ in range(20):
+        res, st = C.solve_ell_tiered(*args, init_state=st, max_phases=2)
+        if int(res.unassigned) == 0 and float(res.final_eps) <= e_min:
+            break
+    np.testing.assert_array_equal(np.asarray(ref.sigma), np.asarray(res.sigma))
+    assert int(ref.rounds) == int(res.rounds)
+    assert int(ref.phases) == int(res.phases)
