@@ -167,12 +167,9 @@ class AuctionSolver:
     def _resolve_mode(self) -> str:
         from sslap_tpu import hybrid as _hybrid
         if np.asarray(self.problem_spec.vals).dtype == np.float64:
-            # float64 rides the native CPU path only: TPUs have no fast f64
-            # and JAX disables x64 by default.
-            if not _hybrid.native_available():
-                raise ValueError(
-                    "float64 costs need the native toolchain (no fast f64 "
-                    "on TPU); use float32 or enable the native build")
+            # float64 rides the host CPU path only: TPUs have no fast f64
+            # and JAX disables x64 by default.  Without a toolchain the
+            # pure-numpy engine (gs_host.py) serves it, slower but exact.
             if self.mode in ("device", "hybrid"):
                 raise ValueError(
                     "float64 costs are solved on the native CPU path; use "
@@ -237,7 +234,7 @@ class AuctionSolver:
             return AuctionSolution(sol=sol, meta=self.meta)
         tr, e0, e_min, theta, max_iter, p0 = self._prepare(warm_prices)
         vals_t = tr.apply(prob.vals)
-        if prob.n == prob.m:
+        if prob.n == prob.m and self.keep_assignment:
             # Square problems take the tiered active-compaction driver
             # (compact.py): round cost scales with the live active set
             # instead of O(n*K).
@@ -245,6 +242,10 @@ class AuctionSolver:
                                     prob.nvalid, p0, e0, e_min, theta,
                                     max_iter)
         else:
+            # keep_assignment=False (reference-style reset-per-phase) has no
+            # tiered equivalent -- the tiered driver's phase-start round IS
+            # the warm-started violator scan -- so the A/B knob routes
+            # through the plain Jacobi driver instead of being ignored.
             res = _solve_jit(prob.cols, vals_t, prob.valid, prob.nvalid, p0,
                              e0, e_min, theta, max_iter,
                              keep_assignment=self.keep_assignment)
@@ -359,10 +360,19 @@ def hopcroft_solve(mat=None, *, loc=None, val=None,
 def linear_sum_assignment(cost, maximize: bool = False):
     """scipy-compatible adapter: returns (row_ind, col_ind) for a dense cost
     matrix (no forbidden-entry convention -- all entries valid; shift applied
-    internally so negatives are allowed, matching scipy semantics)."""
+    internally so negatives are allowed, matching scipy semantics).  Tall
+    matrices (rows > cols) are solved transposed, as scipy allows: the
+    returned index arrays then have length ``cols`` with row_ind sorted."""
     cost = np.asarray(cost, np.float64)
     shift = min(0.0, float(cost.min())) if cost.size else 0.0
+    n, m = cost.shape
+    if n > m:
+        res = auction_solve(cost.T - shift,
+                            problem="max" if maximize else "min")
+        col_to_row = res["sol"]            # [m]: original row per column
+        order = np.argsort(col_to_row, kind="stable")
+        return col_to_row[order], order
     res = auction_solve(cost - shift, problem="max" if maximize else "min")
     sol = res["sol"]
-    rows = np.arange(cost.shape[0])
+    rows = np.arange(n)
     return rows, sol

@@ -111,9 +111,18 @@ def auction_solve_batched(
     t0 = time.perf_counter()
     if mode not in ("auto", "device", "cpu"):
         raise ValueError(f"unknown mode {mode!r}")
+    needs_host_precision = (np.dtype(np.asarray(vals).dtype) == np.float64
+                            or prob.int_exact)
     if mode == "auto":
         from sslap_tpu import hybrid as _hybrid
         mode = "cpu" if (_hybrid.native_available() and mesh is None)             else "device"
+    if mode == "device" and needs_host_precision:
+        # Mirrors api.AuctionSolver._resolve_mode: float64 / exact-large-int
+        # batches cannot ride jit with x64 disabled (silent f32 downcast
+        # would corrupt large integer costs).
+        raise ValueError(
+            "float64 / exact-large-integer batched costs are solved on the "
+            "native CPU path; use mode='cpu' or 'auto' (no fast f64 on TPU)")
     if mode == "cpu":
         from sslap_tpu import hybrid as _hybrid
         sols = np.full((B, prob.n), -1, np.int32)
@@ -123,7 +132,8 @@ def auction_solve_batched(
                              vals=np.asarray(vals[b]),
                              valid=np.asarray(valid[b]),
                              nvalid=np.asarray(nvalid[b]),
-                             n=prob.n, m=prob.m)
+                             n=prob.n, m=prob.m,
+                             int_exact=prob.int_exact)
             sol_b, _, meta_b = _hybrid.solve_hybrid(
                 sub, problem=problem, eps_start=eps_start, eps_min=eps_min,
                 theta=theta, max_iter=max_iter, mode="cpu",
@@ -148,7 +158,7 @@ def auction_solve_batched(
             hi = min(lo + chunk, B)
             sub = ELLProblem(cols=cols[lo:hi], vals=vals[lo:hi],
                              valid=valid[lo:hi], nvalid=nvalid[lo:hi],
-                             n=prob.n, m=prob.m)
+                             n=prob.n, m=prob.m, int_exact=prob.int_exact)
             s_part, m_part = auction_solve_batched(
                 sub, problem=problem, eps_start=eps_start, eps_min=eps_min,
                 theta=theta, max_iter=max_iter,
@@ -192,7 +202,8 @@ def auction_solve_batched(
     from sslap_tpu.api import _objective_host
     for b in range(B):
         sub = ELLProblem(cols=cols[b], vals=vals[b], valid=valid[b],
-                         nvalid=nvalid[b], n=prob.n, m=prob.m)
+                         nvalid=nvalid[b], n=prob.n, m=prob.m,
+                         int_exact=prob.int_exact)
         unassigned = (int(np.asarray(res.unassigned)[b])
                       + int((np.asarray(nvalid[b]) == 0).sum()))
         metas.append({

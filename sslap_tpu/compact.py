@@ -274,8 +274,9 @@ def solve_ell_tiered(
     prices.
 
     Resume / checkpoint: ``max_phases`` bounds the eps phases run in THIS
-    call; pass the previous call's state back as ``init_state`` to
-    continue (use solve_state() to build one from host arrays).  Phase
+    call; pass the previous call's second return value (a TieredState)
+    back as ``init_state`` to continue -- TieredState is a plain NamedTuple
+    pytree, so host-side numpy snapshots round-trip through it.  Phase
     boundaries are exact resume points -- (prices, owner, sigma, eps) is
     the whole algorithm state (SURVEY.md SS6 'Checkpoint / resume'), so a
     periodic host snapshot between calls makes long solves crash-proof."""

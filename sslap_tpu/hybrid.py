@@ -43,15 +43,28 @@ from sslap_tpu import auction as _auction
 from sslap_tpu.ingest import ELLProblem
 
 try:
-    from sslap_tpu.native import auction_gs as _gs
-    from sslap_tpu.native import unassign_violators_native as _unassign
+    from sslap_tpu.native import auction_gs as _gs_native
+    from sslap_tpu.native import unassign_violators_native as _unassign_native
 except Exception:  # pragma: no cover
-    _gs = None
-    _unassign = None
+    _gs_native = None
+    _unassign_native = None
+
+if _gs_native is not None:
+    _gs, _unassign = _gs_native, _unassign_native
+else:
+    # No toolchain: pure-numpy engine (same bid semantics, ~30x slower).
+    # Keeps float64 / cpu-mode solves working without g++ (gs_host.py).
+    from sslap_tpu.gs_host import (
+        auction_gs_numpy as _gs,
+        unassign_violators_numpy as _unassign,
+    )
 
 
 def native_available() -> bool:
-    return _gs is not None
+    """True when the fast native (C++) engine is loaded.  The numpy
+    fallback keeps ``mode='cpu'`` functional either way, but ``auto``
+    routing should only prefer the CPU when it is the native one."""
+    return _gs_native is not None
 
 
 def ell_to_csr_transformed(prob: ELLProblem, sign: int, scale: int
@@ -134,9 +147,13 @@ def solve_hybrid(
 ):
     """eps-scaled solve with device bulk + host tail (or pure host).
 
+    ``trunc`` is the square fast path's per-phase active-row truncation
+    point (the device leaves <= trunc rows per phase for the host GS);
+    ``threshold`` plays the same role for the rectangular per-phase path
+    only -- the square path does not consult it.
+
     Returns (sigma [n] numpy int32, prices numpy, meta dict with device
     'its' rounds and 'host_bids')."""
-    assert _gs is not None, "native auction unavailable (no toolchain?)"
     n, m = prob.n, prob.m
     n_real = n if n_real is None else n_real
     n_dummy = m - n_real
@@ -197,13 +214,21 @@ def solve_hybrid(
                    e_min, bigp, 0, 100 * n + 10_000_000)
         t_gs = time.perf_counter() - t_gs0
         unassigned = int(((sigma < 0) & (np.diff(indptr) > 0)).sum())
+        # Honest optimality accounting: the eps_min-CS guarantee only holds
+        # if the device pass actually descended to eps_min (its final
+        # phase's violator scan re-auctions stale pairs).  If it exited on
+        # the round budget at eps > eps_min, the host GS still completes the
+        # assignment, but earlier-assigned pairs are only final_eps-CS.
+        dev_eps = float(np.asarray(res.final_eps))
+        eps_reached = dev_eps <= float(e_min)
         meta = {
             "its": dev_rounds,
             "host_bids": max(int(bids), 0),
             "phases": int(res.phases),
-            "final_eps": float(e_min) / tr.scale,
+            "final_eps": (float(e_min) if eps_reached else dev_eps)
+            / tr.scale,
             "unassigned": unassigned,
-            "soln_found": unassigned == 0 and bids >= 0,
+            "soln_found": unassigned == 0 and bids >= 0 and eps_reached,
             "time": time.perf_counter() - t0,
             "device_time": t_dev,
             "host_gs_time": t_gs,
