@@ -74,6 +74,10 @@ def chain_time(step, carry0, r1=2, r2=8):
     return max((ts[r2] - ts[r1]) / (r2 - r1), 1e-9)
 
 
+_OUT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "PROBE_r2.json")
+
+
 def record(name, seconds, per=None, unit="s", note=""):
     RESULTS[name] = {"seconds": seconds}
     msg = f"{name}: {seconds*1e3:.3f} ms"
@@ -83,6 +87,8 @@ def record(name, seconds, per=None, unit="s", note=""):
     if note:
         msg += f"  [{note}]"
     log(msg)
+    with open(_OUT, "w") as fh:     # incremental: timeouts keep partials
+        json.dump(RESULTS, fh, indent=1)
 
 
 def perturb_f(x, out):

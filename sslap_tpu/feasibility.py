@@ -2,11 +2,12 @@
 
 The reference exposes a Cython Hopcroft-Karp both standalone and as the
 auction solver's infeasibility pre-check (SURVEY.md SS3a R3, SS4.3).  The
-check is a one-shot pre-pass off the hot loop, so the primary implementation
-here is a host-side one over CSR structure (a native C++ version is loaded
-when available -- sslap_tpu/native); a device-side frontier-BFS formulation
-for very large instances lives in ops/hk_device.py territory (later
-milestone).
+check is a one-shot pre-pass off the hot loop, so the exact implementation
+is host-side over CSR structure (a native C++ version is loaded when
+available -- sslap_tpu/native).  For large instances the massively
+parallel bulk of the matching runs on device first (greedy maximal
+matching via propose/accept rounds, feasibility_device.py) and HK only
+augments the residual deficit, warm-started from it (``device_seed``).
 
 Algorithm (SURVEY.md SS4.3): repeat { layered BFS from free rows; DFS along
 the layer graph augmenting vertex-disjoint paths } until no augmenting path;
@@ -15,7 +16,7 @@ O(E * sqrt(V)).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -45,28 +46,41 @@ def hopcroft_karp_csr(
     n: int,
     m: int,
     use_native: bool = True,
+    init_match: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Maximum matching over a bipartite CSR structure.
 
     Returns (match_row [n] -> col or -1, match_col [m] -> row or -1, size).
     Deterministic: rows and adjacency are scanned in index order.
+    ``init_match`` optionally warm-starts augmentation from an existing
+    partial matching (e.g. the device greedy bulk pass) instead of the
+    built-in greedy seed.
     """
     indptr = np.ascontiguousarray(indptr, np.int64)
     indices = np.ascontiguousarray(indices, np.int64)
     if use_native and _hk_native is not None:
-        return _hk_native(indptr, indices, n, m)
+        if init_match is None:
+            return _hk_native(indptr, indices, n, m)
+        from sslap_tpu.native import hopcroft_karp_warm_native
+        mr = np.ascontiguousarray(init_match[0], np.int64).copy()
+        mc = np.ascontiguousarray(init_match[1], np.int64).copy()
+        return hopcroft_karp_warm_native(indptr, indices, n, m, mr, mc)
 
-    match_row = np.full(n, -1, np.int64)
-    match_col = np.full(m, -1, np.int64)
+    if init_match is not None:
+        match_row = np.asarray(init_match[0], np.int64).copy()
+        match_col = np.asarray(init_match[1], np.int64).copy()
+    else:
+        match_row = np.full(n, -1, np.int64)
+        match_col = np.full(m, -1, np.int64)
 
-    # Greedy seed pass (big constant-factor win, standard HK practice).
-    for u in range(n):
-        for k in range(indptr[u], indptr[u + 1]):
-            v = indices[k]
-            if match_col[v] == -1:
-                match_col[v] = u
-                match_row[u] = v
-                break
+        # Greedy seed pass (big constant-factor win, standard HK practice).
+        for u in range(n):
+            for k in range(indptr[u], indptr[u + 1]):
+                v = indices[k]
+                if match_col[v] == -1:
+                    match_col[v] = u
+                    match_row[u] = v
+                    break
 
     dist = np.empty(n, np.int64)
     q = np.empty(n, np.int64)
@@ -139,14 +153,31 @@ def hopcroft_karp_csr(
     return match_row, match_col, size
 
 
-def hopcroft_karp(prob: ELLProblem, use_native: bool = True):
-    """Maximum matching of an ELLProblem's sparsity pattern."""
+def hopcroft_karp(prob: ELLProblem, use_native: bool = True,
+                  device_seed: Optional[bool] = None):
+    """Maximum matching of an ELLProblem's sparsity pattern.
+
+    ``device_seed``: run the TPU greedy maximal-matching bulk pass first
+    (feasibility_device.py) and warm-start HK's augmentation from it --
+    the host then only augments the small residual deficit instead of
+    building the whole matching serially.  None = auto (instances large
+    enough that the host scan dominates the device pass's jit cost)."""
     indptr, indices = _ell_to_csr(prob)
+    if device_seed is None:
+        device_seed = prob.n * prob.K >= 4_000_000
+    init = None
+    if device_seed and prob.n > 0:
+        try:
+            from sslap_tpu import feasibility_device as _fd
+            init = _fd.greedy_matching(prob)
+        except Exception:   # device unavailable: plain host HK
+            init = None
     return hopcroft_karp_csr(indptr, indices, prob.n, prob.m,
-                             use_native=use_native)
+                             use_native=use_native, init_match=init)
 
 
-def is_feasible(prob: ELLProblem, use_native: bool = True) -> bool:
+def is_feasible(prob: ELLProblem, use_native: bool = True,
+                device_seed: Optional[bool] = None) -> bool:
     """True iff a perfect (all-rows) matching exists -- the auction solver's
     cardinality pre-check (SURVEY.md SS1 item 5)."""
     if prob.n == 0:
@@ -154,5 +185,6 @@ def is_feasible(prob: ELLProblem, use_native: bool = True) -> bool:
     nv = np.asarray(prob.nvalid)
     if (nv == 0).any():
         return False
-    _, _, size = hopcroft_karp(prob, use_native=use_native)
+    _, _, size = hopcroft_karp(prob, use_native=use_native,
+                               device_seed=device_seed)
     return size == prob.n

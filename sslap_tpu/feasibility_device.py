@@ -1,0 +1,126 @@
+"""Device-side bipartite matching bulk pass (T6 device tier).
+
+VERDICT.md round 1 flagged the host-only Hopcroft-Karp as a future
+bottleneck (18 s at 4M rows).  A full HK on TPU is a poor fit -- its DFS
+augmentation is inherently serial pointer chasing, which this hardware
+executes at scalar-gather speed (~7 ns/element, PERF.md).  What the device
+IS good at is the massively parallel part: a greedy MAXIMAL matching via
+Jacobi propose/accept rounds (the same conflict-resolve machinery as the
+auction commit).  On random sparse patterns this matches ~95-99% of rows in
+a handful of rounds; the exact Hopcroft-Karp then only augments the small
+residual, warm-started from the device matching (matching theory: any
+maximal matching is >= 1/2 optimal, and HK's phase count depends on the
+residual deficit, not n).
+
+Round semantics (deterministic):
+  every free row proposes to its lowest-index valid column that is still
+  free; each column accepts the lowest-index proposer; losers retry next
+  round.  A row with no free candidate column drops out permanently --
+  greedy never un-matches a column, so the result is maximal.
+
+Rounds run over a compacted active-id buffer with a static tier ladder
+(compact.py's trick) so late rounds cost O(active), not O(n); the whole
+pass is ONE jit execution.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sslap_tpu.ingest import ELLProblem
+
+_I32_MAX = 2 ** 31 - 1
+
+
+def _match_round(cols, valid, match_row, match_col, ids):
+    """One propose/accept round over compacted free-row ids (pad = n).
+
+    Returns (match_row, match_col, new_ids) where new_ids keeps only rows
+    that proposed and lost (they may still win a different column later).
+    """
+    n, K = cols.shape
+    m = match_col.shape[0]
+    C = ids.shape[0]
+    live = ids < n
+    colsC = cols.at[ids].get(mode="clip")                  # [C, K]
+    validC = valid.at[ids].get(mode="clip") & live[:, None]
+    colfree = match_col.at[colsC].get(mode="clip") < 0
+    cand = validC & colfree
+    has = jnp.any(cand, axis=1)
+    slot = jnp.argmax(cand, axis=1)        # first True = lowest column
+    onehot = jnp.arange(K, dtype=jnp.int32)[None, :] == slot[:, None]
+    tgt = jnp.sum(jnp.where(onehot, colsC, 0), axis=1).astype(jnp.int32)
+    proposing = has & live
+    tgt = jnp.where(proposing, tgt, jnp.int32(m))
+
+    cand_id = jnp.where(proposing, ids, jnp.int32(_I32_MAX))
+    winner = (jnp.full((m,), _I32_MAX, jnp.int32)
+              .at[tgt].min(cand_id, mode="drop"))
+    winner_ext = jnp.concatenate(
+        [winner, jnp.asarray([_I32_MAX], jnp.int32)])
+    won = proposing & (winner_ext[tgt] == ids)
+
+    match_col = match_col.at[jnp.where(won, tgt, m)].set(ids, mode="drop")
+    match_row = match_row.at[jnp.where(won, ids, n)].set(tgt, mode="drop")
+
+    stay = proposing & jnp.logical_not(won)
+    new_ids = lax.sort(jnp.where(stay, ids, jnp.int32(n)))[:C]
+    return match_row, match_col, new_ids
+
+
+def _tiers(n: int) -> Tuple[int, ...]:
+    tiers = [n]
+    for c in (65536, 4096, 512):
+        if c < n:
+            tiers.append(c)
+    return tuple(tiers)
+
+
+def greedy_matching_ell(cols, valid, nvalid, m: int):
+    """Jitted greedy maximal matching over an ELL pattern.
+
+    Returns (match_row [n] int32 col-or--1, match_col [m] int32 row-or--1).
+    Pure function of the pattern; deterministic lowest-index tie-breaks.
+    """
+    n, K = cols.shape
+    match_row = jnp.full((n,), -1, jnp.int32)
+    match_col = jnp.full((m,), -1, jnp.int32)
+    all_rows = jnp.arange(n, dtype=jnp.int32)
+    ids = jnp.where(nvalid > 0, all_rows, jnp.int32(n))
+    ids = lax.sort(ids)
+
+    carry = (match_row, match_col, ids)
+    tiers = _tiers(n)
+    for ti, C in enumerate(tiers):
+        floor = tiers[ti + 1] if ti + 1 < len(tiers) else 0
+
+        def cond(c, floor=floor):
+            _, _, ids = c
+            return jnp.sum(ids < n) > floor
+
+        def body(c):
+            return _match_round(cols, valid, *c)
+
+        if C != tiers[0]:
+            mr, mc, ids = carry
+            carry = (mr, mc, ids[:C])
+        carry = lax.while_loop(cond, body, carry)
+    match_row, match_col, _ = carry
+    return match_row, match_col
+
+
+_greedy_jit = jax.jit(greedy_matching_ell, static_argnames=("m",))
+
+
+def greedy_matching(prob: ELLProblem) -> Tuple[np.ndarray, np.ndarray]:
+    """Host wrapper: device greedy maximal matching of ``prob``'s pattern."""
+    mr, mc = _greedy_jit(jnp.asarray(np.asarray(prob.cols)),
+                         jnp.asarray(np.asarray(prob.valid)),
+                         jnp.asarray(np.asarray(prob.nvalid)),
+                         m=prob.m)
+    return np.asarray(mr).astype(np.int64), np.asarray(mc).astype(np.int64)

@@ -18,10 +18,12 @@ if _lib is not None:
         build_ell_native,
         build_csc_native,
         hopcroft_karp_native,
+        hopcroft_karp_warm_native,
         unassign_violators_native,
     )
 else:  # toolchain unavailable: numpy fallbacks are used by callers
     hopcroft_karp_native = None
+    hopcroft_karp_warm_native = None
     build_ell_native = None
     auction_gs = None
     unassign_violators_native = None

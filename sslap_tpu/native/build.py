@@ -70,6 +70,8 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.sslap_hopcroft_karp.restype = ctypes.c_int64
     lib.sslap_hopcroft_karp.argtypes = [
         i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p]
+    lib.sslap_hopcroft_karp_warm.restype = ctypes.c_int64
+    lib.sslap_hopcroft_karp_warm.argtypes = lib.sslap_hopcroft_karp.argtypes
     lib.sslap_coo_prepare.restype = ctypes.c_int64
     lib.sslap_coo_prepare.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p, i64p]
@@ -139,6 +141,24 @@ def hopcroft_karp_native(indptr: np.ndarray, indices: np.ndarray,
     match_row = np.empty(n, np.int64)
     match_col = np.empty(m, np.int64)
     size = lib.sslap_hopcroft_karp(
+        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int64),
+        n, m, _ptr(match_row, ctypes.c_int64), _ptr(match_col, ctypes.c_int64))
+    return match_row, match_col, int(size)
+
+
+def hopcroft_karp_warm_native(indptr: np.ndarray, indices: np.ndarray,
+                              n: int, m: int,
+                              match_row: np.ndarray, match_col: np.ndarray
+                              ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """HK augmentation from a caller-provided initial matching (modified
+    in place; must be a consistent partial matching)."""
+    lib = load_native()
+    assert lib is not None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    assert match_row.dtype == np.int64 and match_row.flags.c_contiguous
+    assert match_col.dtype == np.int64 and match_col.flags.c_contiguous
+    size = lib.sslap_hopcroft_karp_warm(
         _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int64),
         n, m, _ptr(match_row, ctypes.c_int64), _ptr(match_col, ctypes.c_int64))
     return match_row, match_col, int(size)

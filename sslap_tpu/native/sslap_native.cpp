@@ -23,24 +23,34 @@ extern "C" {
 // feasibility.py, which doubles as its oracle in tests/test_feasibility.py).
 // Returns matching size; fills match_row[n], match_col[m] with -1 = free.
 // ---------------------------------------------------------------------------
-int64_t sslap_hopcroft_karp(const int64_t* indptr, const int64_t* indices,
-                            int64_t n, int64_t m,
-                            int64_t* match_row, int64_t* match_col) {
+static int64_t hopcroft_karp_impl(const int64_t* indptr,
+                                  const int64_t* indices,
+                                  int64_t n, int64_t m,
+                                  int64_t* match_row, int64_t* match_col,
+                                  bool warm) {
   const int64_t INF = INT64_MAX / 4;
-  std::fill(match_row, match_row + n, int64_t{-1});
-  std::fill(match_col, match_col + m, int64_t{-1});
-
-  // Greedy seed pass.
   int64_t size = 0;
-  for (int64_t u = 0; u < n; ++u) {
-    for (int64_t k = indptr[u]; k < indptr[u + 1]; ++k) {
-      int64_t v = indices[k];
-      if (match_col[v] == -1) {
-        match_col[v] = u;
-        match_row[u] = v;
-        ++size;
-        break;
+  if (!warm) {
+    std::fill(match_row, match_row + n, int64_t{-1});
+    std::fill(match_col, match_col + m, int64_t{-1});
+
+    // Greedy seed pass.
+    for (int64_t u = 0; u < n; ++u) {
+      for (int64_t k = indptr[u]; k < indptr[u + 1]; ++k) {
+        int64_t v = indices[k];
+        if (match_col[v] == -1) {
+          match_col[v] = u;
+          match_row[u] = v;
+          ++size;
+          break;
+        }
       }
+    }
+  } else {
+    // Caller-provided initial matching (e.g. the device-side greedy bulk
+    // pass, feasibility_device.py): count it and augment from there.
+    for (int64_t u = 0; u < n; ++u) {
+      if (match_row[u] >= 0) ++size;
     }
   }
 
@@ -113,6 +123,23 @@ int64_t sslap_hopcroft_karp(const int64_t* indptr, const int64_t* indices,
     }
   }
   return size;
+}
+
+int64_t sslap_hopcroft_karp(const int64_t* indptr, const int64_t* indices,
+                            int64_t n, int64_t m,
+                            int64_t* match_row, int64_t* match_col) {
+  return hopcroft_karp_impl(indptr, indices, n, m, match_row, match_col,
+                            /*warm=*/false);
+}
+
+// Warm variant: match_row/match_col carry an initial (partial) matching;
+// HK augments it to maximum.  Used by the device-seeded feasibility path.
+int64_t sslap_hopcroft_karp_warm(const int64_t* indptr,
+                                 const int64_t* indices,
+                                 int64_t n, int64_t m,
+                                 int64_t* match_row, int64_t* match_col) {
+  return hopcroft_karp_impl(indptr, indices, n, m, match_row, match_col,
+                            /*warm=*/true);
 }
 
 // ---------------------------------------------------------------------------

@@ -7,19 +7,27 @@ price/assignment state and per-round pmax/pmin combines over ICI/DCN.
 """
 
 from sslap_tpu.parallel.mesh import make_mesh, initialize_multihost
-from sslap_tpu.parallel.partition import pad_rows_for_mesh
+from sslap_tpu.parallel.partition import (
+    pad_rows_for_mesh,
+    partition_rows,
+    shard_nnz_counts,
+)
 from sslap_tpu.parallel.sharded import auction_solve_sharded, sharded_solve_ell
 from sslap_tpu.parallel.overlap import (
     auction_solve_overlapped,
     solve_ell_overlapped,
 )
+from sslap_tpu.parallel.scaling import measure_round_breakdown
 
 __all__ = [
     "make_mesh",
     "initialize_multihost",
     "pad_rows_for_mesh",
+    "partition_rows",
+    "shard_nnz_counts",
     "auction_solve_sharded",
     "auction_solve_overlapped",
     "sharded_solve_ell",
     "solve_ell_overlapped",
+    "measure_round_breakdown",
 ]

@@ -33,7 +33,7 @@ from jax import shard_map
 
 from sslap_tpu import auction as _auction
 from sslap_tpu.ingest import ELLProblem
-from sslap_tpu.parallel.partition import pad_rows_for_mesh
+from sslap_tpu.parallel.partition import pad_rows_for_mesh, partition_rows
 
 _I32_MAX = 2 ** 31 - 1
 
@@ -128,10 +128,17 @@ def auction_solve_sharded(
     cardinality_check: bool = True,
     dtype=None,
     axis_name: str = "rows",
+    partition: str = "rows",
 ):
     """Drop-in sharded variant of api.auction_solve: same inputs and result
     contract, with the solve row-partitioned over ``mesh`` (default: a 1-D
-    mesh over all devices)."""
+    mesh over all devices).
+
+    ``partition``: 'rows' (contiguous blocks, bit-identical to the
+    unsharded solve) or 'nnz' (rows relabeled so shards carry near-equal
+    nnz -- use on skewed instances; same optimal objective, assignments may
+    differ on cost ties because deterministic tie-breaks see the relabeled
+    row ids)."""
     from sslap_tpu import api as _api
     from sslap_tpu import feasibility as _feas
     from sslap_tpu.parallel.mesh import make_mesh
@@ -168,13 +175,23 @@ def auction_solve_sharded(
         bigp = 1.0
 
     n_real = prob.n
-    prob_p = pad_rows_for_mesh(prob, mesh.shape[axis_name])
+    prob_p, row_order = partition_rows(prob, mesh.shape[axis_name],
+                                       by=partition)
     vals_t = tr.apply(prob_p.vals)
     p0 = jnp.zeros((prob.m,), vals_t.dtype)
 
+    # With relabeled rows every row is "real" from the solver's view (the
+    # padding rows are interleaved but have nvalid == 0 and never bid);
+    # n_real only drives the implicit-dummy count m - n_real, unchanged.
     res = sharded_solve_ell(prob_p, vals_t, mesh, p0, e0, e_min, theta_v,
                             max_iter, bigp, n_real, axis_name=axis_name)
-    sol = np.asarray(res.sigma)[:n_real]
+    sol_p = np.asarray(res.sigma)
+    if row_order is None:
+        sol = sol_p[:n_real]
+    else:
+        sol = np.full(n_real, -1, sol_p.dtype)
+        real = row_order < n_real
+        sol[row_order[real]] = sol_p[real]
     t1 = time.perf_counter()
     n_empty = int((np.asarray(prob.nvalid) == 0).sum())
     unassigned = int(np.asarray(res.unassigned)) + n_empty

@@ -103,3 +103,59 @@ def test_fake_combine_injection():
         eps0=100, eps_min=1, theta=5, max_iter=10_000)
     np.testing.assert_array_equal(np.asarray(res.sigma),
                                   np.asarray(base.sigma))
+
+
+# ---- nnz-balanced partitioner + scaling instrumentation (round 2) ---------
+
+def _skewed_instance(rng, n, m, heavy_rows=8, heavy_nnz=64, light_nnz=2):
+    """First ``heavy_rows`` rows carry heavy_nnz entries, the rest a couple:
+    contiguous by-rows splits put all heavy rows on shard 0."""
+    rr, cc = [], []
+    perm = rng.permutation(m)[:n]
+    for i in range(n):
+        k = heavy_nnz if i < heavy_rows else light_nnz
+        cs = set(rng.integers(0, m, k).tolist()) | {int(perm[i])}
+        rr.extend([i] * len(cs))
+        cc.extend(sorted(cs))
+    loc = np.stack([np.array(rr), np.array(cc)], 1)
+    val = rng.integers(1, 100, len(rr))
+    return loc, val
+
+
+def test_partition_rows_nnz_balances_skew():
+    from sslap_tpu.parallel import partition_rows, shard_nnz_counts
+    rng = np.random.default_rng(21)
+    loc, val = _skewed_instance(rng, 64, 80)
+    prob = ingest.from_coo(loc, val, shape=(64, 80))
+    by_rows, order0 = partition_rows(prob, 8, by="rows")
+    by_nnz, order = partition_rows(prob, 8, by="nnz")
+    assert order0 is None and order is not None
+    s_rows = shard_nnz_counts(by_rows, 8)
+    s_nnz = shard_nnz_counts(by_nnz, 8)
+    assert s_rows.max() > 2.0 * s_rows.mean()     # the skew is real
+    assert s_nnz.max() <= 1.1 * s_nnz.mean()      # and nnz-balancing fixes it
+    # relabeling is a permutation of the padded rows
+    assert sorted(order.tolist()) == list(range(by_nnz.n))
+
+
+def test_sharded_nnz_partition_solves_correctly():
+    rng = np.random.default_rng(22)
+    loc, val = _skewed_instance(rng, 30, 40)
+    prob_dense = np.full((30, 40), -1.0)
+    prob_dense[loc[:, 0], loc[:, 1]] = val
+    res = auction_solve_sharded(loc=loc, val=val, shape=(30, 40),
+                                mesh=_mesh(), partition="nnz")
+    assert res["meta"]["soln_found"]
+    assert res["meta"]["obj"] == scipy_dense_objective(prob_dense)
+
+
+def test_measure_round_breakdown_smoke():
+    from sslap_tpu.parallel import measure_round_breakdown
+    rng = np.random.default_rng(23)
+    loc, val, dense = random_sparse_instance(rng, 64, 64, 0.2)
+    prob = ingest.from_coo(loc, val, shape=(64, 64))
+    out = measure_round_breakdown(prob, _mesh(), r1=2, r2=6)
+    assert out["n_shards"] == len(jax.devices())
+    assert out["round_s"] > 0 and out["compute_s"] > 0
+    assert 0.0 <= out["comm_fraction"] <= 1.0
+    assert out["nnz_imbalance"] >= 1.0
