@@ -86,24 +86,31 @@ def main():
         f"host_bids={meta['host_bids']} obj={meta['obj']:.1f} "
         f"device_t={meta.get('device_time', 0):.2f}s "
         f"host_gs_t={meta.get('host_gs_time', 0):.2f}s")
+    if "tier_rounds" in meta:
+        log(f"tier_rounds (phase-start, then ladder tiers): "
+            f"{meta['tier_rounds']}")
     assert meta["soln_found"]
     rel_gap = abs(meta["obj"] - res_cpu["meta"]["obj"]) / abs(
         res_cpu["meta"]["obj"])
     log(f"objective agreement cpu vs hybrid: rel gap {rel_gap:.2e}")
 
-    # vs_baseline: best framework mode (auto picks it) over the sslap-class
-    # single-thread CPU reference.  On this host (1 vCPU + tunneled TPU with
-    # ~15us/kernel launch latency and up to s/MB readback) the native GS is
-    # the fastest single-instance mode at 1M; the TPU paths win on batched
-    # instances (benchmarks/run_all.py config 3) and scale-out.
-    best_t = min(cpu_t, hyb_t)
-    nnz_per_s = nnz / best_t
+    # Honest headline (VERDICT.md round 1): the reported value is the TPU
+    # (hybrid) path's end-to-end nnz/s, and vs_baseline = cpu_t / hyb_t --
+    # it goes BELOW 1.0 when the device path loses to the sslap-class
+    # single-thread CPU reference.  The CPU number and the speed-of-light
+    # fraction ride along in the same JSON line.
+    nnz_per_s = nnz / hyb_t
+    stream_bound_nnz_s = 506e9 / 8.0   # measured 506 GB/s over 8 B/nnz ELL
     log(f"best mode: {'cpu' if cpu_t <= hyb_t else 'hybrid'}")
     print(json.dumps({
         "metric": "time_to_optimal_1Mx1M_sparse_lap_nnz_per_s",
         "value": round(nnz_per_s, 1),
         "unit": "nnz/s",
-        "vs_baseline": round(cpu_t / best_t, 3),
+        "vs_baseline": round(cpu_t / hyb_t, 3),
+        "cpu_nnz_per_s": round(nnz / cpu_t, 1),
+        "device_s": round(meta.get("device_time", 0.0), 2),
+        "host_gs_s": round(meta.get("host_gs_time", 0.0), 2),
+        "sol_fraction": round(nnz_per_s / stream_bound_nnz_s, 6),
     }))
 
 

@@ -106,6 +106,7 @@ class AuctionSolver:
         pad_to: Optional[int] = None,
         mode=_UNSET,
         keep_assignment=_UNSET,
+        engine=_UNSET,
         config=None,
     ):
         # Resolution order: explicit kwarg > AuctionConfig > built-in
@@ -125,6 +126,7 @@ class AuctionSolver:
         mode = pick(mode, "mode")
         keep_assignment = pick(keep_assignment, "keep_assignment")
         dtype = pick(dtype, "dtype")
+        engine = pick(engine, "engine")
 
         self.problem_spec = _ingest_any(mat=mat, loc=loc, val=val, shape=shape,
                                         dtype=dtype, pad_to=pad_to)
@@ -140,6 +142,9 @@ class AuctionSolver:
             raise ValueError(f"unknown mode {mode!r}")
         self.mode = mode
         self.keep_assignment = keep_assignment
+        if engine not in ("auto", "compact", "candidates"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
         self.prices: Optional[np.ndarray] = None
         self.meta: Optional[dict] = None
 
@@ -188,6 +193,15 @@ class AuctionSolver:
             return "cpu"
         return "device"
 
+    def _resolve_engine(self) -> str:
+        if self.engine != "auto":
+            return self.engine
+        # Candidate-list rounds win when rows carry enough entries that the
+        # kappa-shortlist saves gathers at the wide tiers (PERF.md round-2
+        # A/B); tiny problems see no wide tiers at all.
+        n = self.problem_spec.n
+        return "candidates" if n > 16384 else "compact"
+
     def solve(self, warm_prices=None) -> AuctionSolution:
         prob = self.problem_spec
         t0 = time.perf_counter()
@@ -200,13 +214,14 @@ class AuctionSolver:
         if mode in ("hybrid", "cpu"):
             from sslap_tpu import hybrid as _hybrid
             n_empty = int((np.asarray(prob.nvalid) == 0).sum())
+            engine = self._resolve_engine()
             try:
                 sol, prices, hmeta = _hybrid.solve_hybrid(
                     prob, problem=self.problem, eps_start=self.eps_start,
                     eps_min=self.eps_min, theta=self.theta,
                     max_iter=self.max_iter, mode=mode,
                     warm_prices=warm_prices,
-                    keep_assignment=self.keep_assignment)
+                    keep_assignment=self.keep_assignment, engine=engine)
             except jax.errors.JaxRuntimeError as e:
                 if mode != "hybrid":
                     raise
@@ -235,12 +250,13 @@ class AuctionSolver:
         tr, e0, e_min, theta, max_iter, p0 = self._prepare(warm_prices)
         vals_t = tr.apply(prob.vals)
         if prob.n == prob.m and self.keep_assignment:
-            # Square problems take the tiered active-compaction driver
-            # (compact.py): round cost scales with the live active set
-            # instead of O(n*K).
+            # Square problems take the tiered active-compaction drivers:
+            # compact.py (exact scans) or candidate.py (kappa-shortlist
+            # rounds at wide tiers); round cost scales with the live
+            # active set instead of O(n*K) either way.
             res = _solve_tiered_jit(prob.cols, vals_t, prob.valid,
                                     prob.nvalid, p0, e0, e_min, theta,
-                                    max_iter)
+                                    max_iter, engine=self._resolve_engine())
         else:
             # keep_assignment=False (reference-style reset-per-phase) has no
             # tiered equivalent -- the tiered driver's phase-start round IS
@@ -281,9 +297,14 @@ def _solve_jit(cols, vals_t, valid, nvalid, p0, eps0, eps_min, theta,
                               keep_assignment=keep_assignment)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("engine",))
 def _solve_tiered_jit(cols, vals_t, valid, nvalid, p0, eps0, eps_min, theta,
-                      max_iter):
+                      max_iter, engine="compact"):
+    if engine == "candidates":
+        from sslap_tpu import candidate as _candidate
+        res, _ = _candidate.solve_ell_candidates(
+            cols, vals_t, valid, nvalid, p0, eps0, eps_min, theta, max_iter)
+        return res
     from sslap_tpu import compact as _compact
     res, _ = _compact.solve_ell_tiered(cols, vals_t, valid, nvalid, p0,
                                        eps0, eps_min, theta, max_iter)
@@ -305,6 +326,7 @@ def auction_solve(
     dtype=_UNSET,
     mode=_UNSET,
     keep_assignment=_UNSET,
+    engine=_UNSET,
     config=None,
 ) -> AuctionSolution:
     """Solve a (sparse) linear assignment problem with the auction algorithm.
@@ -333,7 +355,7 @@ def auction_solve(
         mat, loc=loc, val=val, shape=shape, problem=problem,
         eps_start=eps_start, eps_min=eps_min, theta=theta, max_iter=max_iter,
         cardinality_check=cardinality_check, dtype=dtype, mode=mode,
-        keep_assignment=keep_assignment, config=config)
+        keep_assignment=keep_assignment, engine=engine, config=config)
     return solver.solve()
 
 

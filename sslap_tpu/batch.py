@@ -109,8 +109,19 @@ def auction_solve_batched(
         raise ValueError("expected batched ELLProblem with leading axis")
     B = cols.shape[0]
     t0 = time.perf_counter()
-    if mode not in ("auto", "device", "cpu"):
+    if mode not in ("auto", "device", "cpu", "hybrid"):
         raise ValueError(f"unknown mode {mode!r}")
+    if mode == "hybrid":
+        from sslap_tpu import dense_batch as _db
+        if not _db.dense_hybrid_available(prob):
+            raise ValueError(
+                "batched hybrid needs square float/int32 instances with "
+                "n <= 16384 and the native toolchain; use mode='cpu'")
+        if mesh is not None:
+            raise ValueError("batched hybrid is single-device; drop mesh=")
+        return _db.solve_batched_dense_hybrid(
+            prob, problem=problem, eps_start=eps_start, eps_min=eps_min,
+            theta=theta, max_iter=max_iter, chunk=chunk)
     needs_host_precision = (np.dtype(np.asarray(vals).dtype) == np.float64
                             or prob.int_exact)
     if mode == "auto":

@@ -59,6 +59,11 @@ class TieredState(NamedTuple):
     eps: jax.Array      # scalar
     rounds: jax.Array   # int32
     phases: jax.Array   # int32
+    # per-tier round counters [len(tiers) + 1]: index 0 counts phase-start
+    # full-width rounds, 1 + i the ladder rounds at tiers[i].  Drives the
+    # perf cost model (PERF.md round 2): per-round cost ~ 18-22 ns x C x K,
+    # so this histogram x the probe's per-tier costs explains device time.
+    tier_rounds: jax.Array
 
 
 def default_tiers(n: int) -> Tuple[int, ...]:
@@ -203,6 +208,7 @@ def tier_ladder(
     tiers: Tuple[int, ...],
     threshold=0,
     max_iter,
+    tier_rounds=None,
 ):
     """Descend the tier ladder at fixed eps: compact rounds at capacity C
     while ``active`` exceeds max(next tier, threshold); stop once active
@@ -216,6 +222,8 @@ def tier_ladder(
     only active/state outputs are authoritative."""
     n = sigma.shape[0]
     threshold = jnp.asarray(threshold, jnp.int32)
+    if tier_rounds is None:
+        tier_rounds = jnp.zeros((len(tiers) + 1,), jnp.int32)
     carry = (prices, owner, sigma, ids, active, rounds, eps)
     for ti, C in enumerate(tiers):
         floor_static = tiers[ti + 1] if ti + 1 < len(tiers) else 0
@@ -241,9 +249,11 @@ def tier_ladder(
             prices, owner, sigma, ids, act, rnd, eps = carry
             ids = ids[:C]
             carry = (prices, owner, sigma, ids, act, rnd, eps)
+        rounds_before = carry[5]
         carry = lax.while_loop(cond, body, carry)
+        tier_rounds = tier_rounds.at[ti + 1].add(carry[5] - rounds_before)
     prices, owner, sigma, ids, active, rounds, eps = carry
-    return prices, owner, sigma, ids, active, rounds
+    return prices, owner, sigma, ids, active, rounds, tier_rounds
 
 
 def solve_ell_tiered(
@@ -319,14 +329,17 @@ def solve_ell_tiered(
             cols, vals_m, nvalid, prices, owner, sigma,
             ids_full, st.eps, bigp, phase_start=not first)
         rounds = st.rounds + 1
+        tier_rounds = st.tier_rounds.at[0].add(1)
         active = count_active(ids)
 
-        prices, owner, sigma, ids, active, rounds = tier_ladder(
+        prices, owner, sigma, ids, active, rounds, tier_rounds = tier_ladder(
             cols, vals_m, nvalid,
             prices, owner, sigma, ids, active, rounds, st.eps,
-            bigp=bigp, tiers=tiers, threshold=trunc, max_iter=max_iter)
+            bigp=bigp, tiers=tiers, threshold=trunc, max_iter=max_iter,
+            tier_rounds=tier_rounds)
         return st._replace(prices=prices, owner=owner, sigma=sigma,
-                           rounds=rounds, phases=st.phases + 1)
+                           rounds=rounds, phases=st.phases + 1,
+                           tier_rounds=tier_rounds)
 
     # First phase (everything unassigned) unless resuming from a phase
     # boundary, then eps-descent phases.
@@ -338,6 +351,7 @@ def solve_ell_tiered(
             eps=eps0,
             rounds=jnp.int32(0),
             phases=jnp.int32(0),
+            tier_rounds=jnp.zeros((len(tiers) + 1,), jnp.int32),
         )
         st = run_phase(init, first=True)
     else:

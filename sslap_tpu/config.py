@@ -35,6 +35,8 @@ class AuctionConfig:
     mode: str = "auto"                   # 'auto'|'device'|'hybrid'|'cpu'
     keep_assignment: bool = True         # warm-started eps phases
     dtype: Optional[object] = None       # force device dtype
+    engine: str = "auto"                 # square device engine:
+                                         # 'auto'|'compact'|'candidates'
 
     def __post_init__(self):
         if self.problem not in ("min", "max"):
@@ -44,6 +46,8 @@ class AuctionConfig:
             raise ValueError("theta must be > 1")
         if self.mode not in ("auto", "device", "hybrid", "cpu"):
             raise ValueError(f"unknown mode {self.mode!r}")
+        if self.engine not in ("auto", "compact", "candidates"):
+            raise ValueError(f"unknown engine {self.engine!r}")
 
     def solver_kwargs(self) -> dict:
         """The kwargs this config supplies to AuctionSolver."""
@@ -57,4 +61,5 @@ class AuctionConfig:
             "mode": self.mode,
             "keep_assignment": self.keep_assignment,
             "dtype": self.dtype,
+            "engine": self.engine,
         }

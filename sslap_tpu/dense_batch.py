@@ -1,0 +1,286 @@
+"""Dense-chunk batched hybrid engine (T9 fast path; BASELINE config 3).
+
+Why dense: the batched tracking/matching workload (256x independent 4k x 4k
+instances at ~1% density) is exactly the regime where this hardware's
+measured constants favor materializing w densely.  A full-width sparse bid
+round costs nnz scalar gathers (~7 ns each -> ~1.4 ms/instance at 196k
+nnz), while the dense round streams the [n, m] block through the VPU at
+memory speed (~64 MB -> ~80 us at the measured ~500 GB/s): ~19x cheaper
+despite touching 85x more elements, and it sidesteps the row-side
+segment-reduce join entirely (the per-row top-2 is a contiguous reduce).
+See PROBE_r2.json / PERF.md for the numbers; this trade only holds when an
+instance's dense row fits comfortably on chip (m <= ~16k), which is the
+batched config's domain -- the 1M-column single-instance path keeps the
+compacted ELL design (compact.py).
+
+Flow per chunk of instances (one jit execution, vmapped over the chunk):
+  scatter ELL -> dense w-base once; then eps phases of full-width dense
+  Jacobi rounds, each phase truncated once every lane's active set is
+  <= ``trunc`` (only the final eps_min phase must complete -- hybrid.py's
+  truncation argument); per-phase eps-CS violator rescan (warm starts).
+Host: one native Gauss-Seidel tail per instance at eps_min finishes the
+serial eviction chains (identical bid semantics; eps-CS preserved).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sslap_tpu import auction as _auction
+from sslap_tpu.auction import neg_sentinel
+from sslap_tpu.ingest import ELLProblem
+
+
+def _dense_from_ell(cols, vals_t, valid, m: int):
+    """[n, K] ELL -> [n, m] dense maximization values; missing entries get
+    the neg sentinel.  Scatter-max is deterministic under the duplicate
+    padding entries (their value IS the sentinel, never winning)."""
+    n, K = cols.shape
+    dtype = vals_t.dtype
+    neg = neg_sentinel(dtype)
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, K))
+    upd = jnp.where(valid, vals_t, neg)
+    return jnp.full((n, m), neg, dtype).at[rows, cols].max(upd, mode="drop")
+
+
+def _dense_bids(A, nvalid, prices, sigma, eps, bigp):
+    """Full-width dense top-2 bid (same semantics as auction.compute_bids:
+    lowest-column argmax tie-break, v2 = v1 - bigp single-entry rule)."""
+    n, m = A.shape
+    dtype = A.dtype
+    neg = neg_sentinel(dtype)
+    w = A - prices[None, :]
+    jstar = jnp.argmax(w, axis=1).astype(jnp.int32)     # first max
+    v1 = jnp.take_along_axis(w, jstar[:, None], axis=1)[:, 0]
+    col_iota = jnp.arange(m, dtype=jnp.int32)
+    v2 = jnp.max(jnp.where(col_iota[None, :] == jstar[:, None], neg, w),
+                 axis=1)
+    v2 = jnp.where(nvalid >= 2, v2, v1 - bigp)
+    a_star = v1 + prices[jstar]
+    bid = a_star - v2 + eps
+    bidding = (sigma < 0) & (nvalid > 0)
+    tgt = jnp.where(bidding, jstar, jnp.int32(m))
+    return tgt, bid
+
+
+def _dense_unassign_violators(A, prices, owner, sigma, eps):
+    """Phase-start warm start: free rows whose assigned pair violates
+    eps-CS at the (new) eps (dense mirror of auction.unassign_violators)."""
+    n, m = A.shape
+    w = A - prices[None, :]
+    v1 = jnp.max(w, axis=1)
+    safe_sig = jnp.where(sigma >= 0, sigma, 0)
+    cur = jnp.take_along_axis(w, safe_sig[:, None].astype(jnp.int32),
+                              axis=1)[:, 0]
+    viol = (sigma >= 0) & (cur < v1 - eps)
+    owner = owner.at[jnp.where(viol, sigma, m)].set(-1, mode="drop")
+    sigma = jnp.where(viol, -1, sigma)
+    return owner, sigma
+
+
+def _solve_chunk(cols, vals_t, valid, nvalid,
+                 eps0, eps_min, theta, max_iter, bigp, trunc):
+    """All eps phases for one instance, dense rounds, phase truncation.
+    vmapped over the chunk axis by the caller; while_loop conditions batch
+    to 'any lane still above trunc' under vmap."""
+    n, K = cols.shape
+    m = n  # square (config-3 domain); rectangular falls back upstream
+    dtype = vals_t.dtype
+    A = _dense_from_ell(cols, vals_t, valid, m)
+    row_ids = jnp.arange(n, dtype=jnp.int32)
+
+    def active(sigma):
+        return jnp.sum((sigma < 0) & (nvalid > 0)).astype(jnp.int32)
+
+    def phase(carry):
+        prices, owner, sigma, eps, rounds, phases = carry
+
+        def cond(st):
+            prices, owner, sigma, rounds = st
+            return (active(sigma) > trunc) & (rounds < max_iter)
+
+        def body(st):
+            prices, owner, sigma, rounds = st
+            tgt, bid = _dense_bids(A, nvalid, prices, sigma, eps, bigp)
+            best, winner = _auction.resolve_bids(tgt, bid, m, row_ids)
+            prices, owner, sigma = _auction.commit_bids(
+                best, winner, prices, owner, sigma, 0)
+            return prices, owner, sigma, rounds + 1
+
+        prices, owner, sigma, rounds = lax.while_loop(
+            cond, body, (prices, owner, sigma, rounds))
+        return prices, owner, sigma, eps, rounds, phases + 1
+
+    prices = jnp.zeros((m,), dtype)
+    owner = jnp.full((m,), -1, jnp.int32)
+    sigma = jnp.full((n,), -1, jnp.int32)
+    eps = jnp.maximum(jnp.asarray(eps0, dtype), jnp.asarray(eps_min, dtype))
+    carry = phase((prices, owner, sigma, eps, jnp.int32(0), jnp.int32(0)))
+
+    def outer_cond(c):
+        _, _, _, eps, rounds, _ = c
+        return (eps > eps_min) & (rounds < max_iter)
+
+    def outer_body(c):
+        prices, owner, sigma, eps, rounds, phases = c
+        eps = _auction._next_eps(eps, jnp.asarray(theta, dtype),
+                                 jnp.asarray(eps_min, dtype))
+        owner, sigma = _dense_unassign_violators(A, prices, owner, sigma,
+                                                 eps)
+        return phase((prices, owner, sigma, eps, rounds, phases))
+
+    prices, owner, sigma, eps, rounds, phases = lax.while_loop(
+        outer_cond, outer_body, carry)
+    return prices, sigma, rounds, phases, eps
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _solve_chunk_vmapped(cols, vals_t, valid, nvalid,
+                         eps0, eps_min, theta, max_iter, bigp, trunc):
+    return jax.vmap(
+        _solve_chunk,
+        in_axes=(0, 0, 0, 0, None, None, None, None, None, None),
+    )(cols, vals_t, valid, nvalid, eps0, eps_min, theta, max_iter, bigp,
+      trunc)
+
+
+def dense_hybrid_available(prob: ELLProblem) -> bool:
+    from sslap_tpu import hybrid as _hybrid
+    return (_hybrid.native_available()
+            and prob.n == prob.m
+            and prob.n <= 16384
+            and not prob.int_exact
+            and np.dtype(np.asarray(prob.vals).dtype) != np.float64)
+
+
+def solve_batched_dense_hybrid(
+    prob: ELLProblem,
+    *,
+    problem: str = "min",
+    eps_start=None,
+    eps_min=None,
+    theta: float = 5.0,
+    max_iter: Optional[int] = None,
+    trunc: int = 128,
+    chunk: Optional[int] = None,
+    dense_budget_bytes: int = 2 << 30,
+):
+    """Batched square instances via dense device chunks + native GS tails.
+
+    Returns (sols [B, n] numpy int32, metas list) with the same meta
+    contract as batch.auction_solve_batched.
+    """
+    from sslap_tpu import hybrid as _hybrid
+    assert prob.cols.ndim == 3, "expected batched ELLProblem"
+    B, n, K = prob.cols.shape
+    m = prob.m
+    assert n == m, "dense batched engine is square-only"
+    t0 = time.perf_counter()
+
+    vals_np = np.asarray(prob.vals)
+    valid_np = np.asarray(prob.valid)
+    dtype = vals_np.dtype
+    vmax_abs = float(np.abs(vals_np[valid_np]).max()) if valid_np.any() \
+        else 0.0
+    tr = _auction.make_transform(problem, m, dtype, vmax_abs,
+                                 int_exact=prob.int_exact)
+    e0, e_min, theta_v = _auction.default_eps_schedule(
+        dtype, vmax_abs, m, tr.scale,
+        eps_min=eps_min, eps_start=eps_start, theta=theta,
+        int_exact=prob.int_exact)
+    if max_iter is None:
+        max_iter = _auction.default_max_iter(n)
+
+    # chunk size: dense [chunk, n, m] within the device budget
+    itemsize = np.dtype(dtype).itemsize
+    if chunk is None:
+        chunk = max(1, min(B, dense_budget_bytes // (n * m * itemsize)))
+
+    tvals = vals_np.astype(np.float64) * (tr.sign * tr.scale)
+    bigp = (float(tvals[valid_np].max() - tvals[valid_np].min()) + 1.0
+            if valid_np.any() else 1.0)
+
+    sols = np.full((B, n), -1, np.int32)
+    metas = []
+    dev_s = 0.0
+    gs_s = 0.0
+    for lo in range(0, B, chunk):
+        hi = min(lo + chunk, B)
+
+        def take(a):
+            """Slice [lo:hi], padding a short final chunk by repeating the
+            last instance so every chunk reuses ONE compiled shape (padded
+            lanes' results are discarded)."""
+            part = np.asarray(a[lo:hi])
+            if hi - lo < chunk:
+                reps = np.repeat(part[-1:], chunk - (hi - lo), axis=0)
+                part = np.concatenate([part, reps], axis=0)
+            return part
+
+        vals_t = tr.apply(take(prob.vals))
+        td0 = time.perf_counter()
+        prices_d, sigma_d, rounds_d, phases_d, _ = _solve_chunk_vmapped(
+            jnp.asarray(take(prob.cols)), vals_t,
+            jnp.asarray(take(valid_np)),
+            jnp.asarray(take(prob.nvalid)),
+            jnp.asarray(e0, vals_t.dtype), jnp.asarray(e_min, vals_t.dtype),
+            jnp.asarray(theta_v, vals_t.dtype), jnp.int32(max_iter),
+            jnp.asarray(bigp, vals_t.dtype), jnp.int32(trunc))
+        prices_h = np.array(prices_d)
+        sigma_h = np.array(sigma_d)
+        rounds_h = np.array(rounds_d)
+        phases_h = np.array(phases_d)
+        dev_s += time.perf_counter() - td0
+
+        tg0 = time.perf_counter()
+        for b in range(lo, hi):
+            i = b - lo
+            sub = ELLProblem(cols=np.asarray(prob.cols[b]),
+                             vals=np.asarray(prob.vals[b]),
+                             valid=valid_np[b],
+                             nvalid=np.asarray(prob.nvalid[b]),
+                             n=n, m=m, int_exact=prob.int_exact)
+            indptr, indices, data = _hybrid.ell_to_csr_transformed(
+                sub, tr.sign, tr.scale)
+            prices_b = prices_h[i].copy()
+            sigma_b = sigma_h[i].copy()
+            owner_b = np.full(m, -1, np.int32)
+            assigned = sigma_b >= 0
+            owner_b[sigma_b[assigned]] = \
+                np.nonzero(assigned)[0].astype(np.int32)
+            bids = _hybrid._gs(indptr, indices, data, prices_b, sigma_b,
+                               owner_b, e_min, np.asarray(bigp, data.dtype),
+                               0, 100 * n + 1_000_000)
+            unassigned = int(((sigma_b < 0) &
+                              (np.diff(indptr) > 0)).sum())
+            n_empty = int((np.asarray(sub.nvalid) == 0).sum())
+            unassigned += n_empty
+            soln_found = unassigned == 0 and bids >= 0
+            from sslap_tpu.api import _objective_host
+            sols[b] = sigma_b
+            metas.append({
+                "obj": _objective_host(sub, sigma_b) if soln_found else None,
+                "its": int(rounds_h[i]),
+                "phases": int(phases_h[i]),
+                "host_bids": max(int(bids), 0),
+                "soln_found": soln_found,
+                "final_eps": float(e_min) / tr.scale,
+                "unassigned": unassigned,
+                "mode": "dense-hybrid",
+            })
+        gs_s += time.perf_counter() - tg0
+    total = time.perf_counter() - t0
+    for mt in metas:
+        mt["time"] = total
+        mt["device_time"] = dev_s
+        mt["host_gs_time"] = gs_s
+    return sols, metas

@@ -83,19 +83,31 @@ def ell_to_csr_transformed(prob: ELLProblem, sign: int, scale: int
     return indptr, indices, data
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("engine",))
 def _device_truncated_solve(cols, vals_t, valid, nvalid, p0,
-                            eps0, eps_min, theta, max_iter, bigp, trunc):
+                            eps0, eps_min, theta, max_iter, bigp, trunc,
+                            engine: str = "compact"):
     """All eps phases on device in ONE execution, each truncated at
-    ``trunc`` active rows (compact.solve_ell_tiered), so the hybrid pays
-    exactly one host->device and one device->host transfer -- the per-phase
-    state shuttle was measured at up to seconds per MB on this TPU tunnel
-    and dominated the old per-phase hybrid."""
+    ``trunc`` active rows, so the hybrid pays exactly one host->device and
+    one device->host transfer -- the per-phase state shuttle was measured
+    at up to seconds per MB on this TPU tunnel and dominated the old
+    per-phase hybrid.
+
+    ``engine``: 'compact' (exact-scan rounds, compact.solve_ell_tiered) or
+    'candidates' (kappa-shortlist rounds at wide tiers,
+    candidate.solve_ell_candidates -- ~(K/kappa)x fewer gathers per wide
+    round and ~5x cheaper phase starts; see PERF.md round-2 table)."""
+    if engine == "candidates":
+        from sslap_tpu import candidate as _candidate
+        res, st = _candidate.solve_ell_candidates(
+            cols, vals_t, valid, nvalid, p0, eps0, eps_min, theta,
+            max_iter, bigp=bigp, trunc=trunc)
+        return res, st.tier_rounds
     from sslap_tpu import compact as _compact
-    res, _ = _compact.solve_ell_tiered(cols, vals_t, valid, nvalid, p0,
-                                       eps0, eps_min, theta, max_iter,
-                                       bigp=bigp, trunc=trunc)
-    return res
+    res, st = _compact.solve_ell_tiered(cols, vals_t, valid, nvalid, p0,
+                                        eps0, eps_min, theta, max_iter,
+                                        bigp=bigp, trunc=trunc)
+    return res, st.tier_rounds
 
 
 @functools.partial(jax.jit, static_argnames=("n_dummy",))
@@ -144,6 +156,8 @@ def solve_hybrid(
     warm_prices=None,
     n_real: Optional[int] = None,
     keep_assignment: bool = True,
+    engine: str = "compact",         # square device engine (see
+                                     # _device_truncated_solve)
 ):
     """eps-scaled solve with device bulk + host tail (or pure host).
 
@@ -197,10 +211,10 @@ def solve_hybrid(
         t0 = time.perf_counter()
         t_dev0 = t0
         trunc = jnp.int32(min(int(trunc), max(n // 8, 1)))
-        res = _device_truncated_solve(
+        res, tier_rounds = _device_truncated_solve(
             prob.cols, vals_t, prob.valid, prob.nvalid,
             jnp.asarray(prices), e0, e_min, theta_v, max_iter,
-            bigp, trunc)
+            bigp, trunc, engine=engine)
         prices = np.array(res.prices)
         sigma = np.array(res.sigma)
         dev_rounds = int(res.rounds)
@@ -220,7 +234,11 @@ def solve_hybrid(
         # the round budget at eps > eps_min, the host GS still completes the
         # assignment, but earlier-assigned pairs are only final_eps-CS.
         dev_eps = float(np.asarray(res.final_eps))
-        eps_reached = dev_eps <= float(e_min)
+        # Compare in the DEVICE dtype: e_min is host float64 and the f32
+        # device eps may round a hair above it, which must not read as
+        # "never reached eps_min".
+        eps_reached = bool(np.asarray(res.final_eps)
+                           <= np.asarray(e_min, vals_np.dtype))
         meta = {
             "its": dev_rounds,
             "host_bids": max(int(bids), 0),
@@ -232,6 +250,7 @@ def solve_hybrid(
             "time": time.perf_counter() - t0,
             "device_time": t_dev,
             "host_gs_time": t_gs,
+            "tier_rounds": np.asarray(tier_rounds).tolist(),
             "mode": mode,
         }
         return sigma, prices, meta

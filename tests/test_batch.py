@@ -120,3 +120,54 @@ def test_batched_rectangular():
     for mt, orc in zip(metas, oracles):
         assert mt["soln_found"]
         assert mt["obj"] == orc
+
+
+# ---- dense-chunk batched hybrid (round 2: VERDICT item 4) -----------------
+
+def test_batched_dense_hybrid_matches_oracle():
+    pytest.importorskip("sslap_tpu.native")
+    from sslap_tpu.hybrid import native_available
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(31)
+    B, n = 5, 48
+    probs = []
+    denses = []
+    for b in range(B):
+        loc, val, dense = random_sparse_instance(rng, n, n, 0.2)
+        probs.append(ingest.from_coo(loc, val, shape=(n, n), pad_to=24))
+        denses.append(dense)
+    batched = stack_problems(probs)
+    sols, metas = auction_solve_batched(batched, mode="hybrid", chunk=2)
+    assert len(metas) == B
+    for b in range(B):
+        assert metas[b]["soln_found"], metas[b]
+        assert metas[b]["mode"] == "dense-hybrid"
+        assert metas[b]["obj"] == scipy_dense_objective(denses[b])
+    # agrees with the cpu engine exactly (int costs)
+    sols_cpu, metas_cpu = auction_solve_batched(batched, mode="cpu")
+    for b in range(B):
+        assert metas[b]["obj"] == metas_cpu[b]["obj"]
+
+
+def test_batched_dense_hybrid_max_and_float():
+    pytest.importorskip("sslap_tpu.native")
+    from sslap_tpu.hybrid import native_available
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(32)
+    B, n = 3, 40
+    probs, denses = [], []
+    for b in range(B):
+        loc, val, dense = random_sparse_instance(rng, n, n, 0.3,
+                                                 integer=False)
+        probs.append(ingest.from_coo(loc, val, shape=(n, n), pad_to=20))
+        denses.append(dense)
+    batched = stack_problems(probs)
+    sols, metas = auction_solve_batched(batched, mode="hybrid",
+                                        problem="max")
+    for b in range(B):
+        assert metas[b]["soln_found"]
+        gap = abs(metas[b]["obj"] -
+                  scipy_dense_objective(denses[b], maximize=True))
+        assert gap <= n * metas[b]["final_eps"] + 1e-3
