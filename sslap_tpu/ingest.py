@@ -285,6 +285,18 @@ def from_csr(
     )
 
 
+def to_coo(prob: ELLProblem) -> Tuple[np.ndarray, np.ndarray]:
+    """ELLProblem -> (loc [nnz, 2], val [nnz]) of the stored valid entries
+    (row-major order).  Inverse of from_coo up to entry order."""
+    cols = np.asarray(prob.cols)
+    vals = np.asarray(prob.vals)
+    valid = np.asarray(prob.valid)
+    rr = np.repeat(np.arange(prob.n, dtype=np.int64), prob.K) \
+        .reshape(prob.n, prob.K)
+    loc = np.stack([rr[valid], cols[valid].astype(np.int64)], axis=1)
+    return loc, vals[valid]
+
+
 def to_dense(prob: ELLProblem, forbidden_value=-1.0) -> np.ndarray:
     """ELLProblem -> dense numpy matrix (forbidden entries filled).  Test /
     debugging helper (round-trip oracle in tests/test_ingest.py)."""

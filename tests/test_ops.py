@@ -136,3 +136,16 @@ def test_gs_kernel_matches_native_gs():
     assert int(bids_d) == int(bids_h)
     np.testing.assert_array_equal(np.asarray(owner_d), owner_h)
     np.testing.assert_allclose(np.asarray(prices_d), prices_h, rtol=1e-6)
+
+
+def test_resolve_bid_fn_dispatch(monkeypatch):
+    """Production kernel dispatch (VERDICT round-1 item 3): opt-in env var
+    + probe gate routes solve_ell's bid_fn hook to the Pallas kernel."""
+    from sslap_tpu import ops
+    monkeypatch.delenv("SSLAP_TPU_USE_PALLAS", raising=False)
+    assert ops.resolve_bid_fn() is None
+    monkeypatch.setenv("SSLAP_TPU_USE_PALLAS", "1")
+    monkeypatch.setattr(ops, "pallas_bid_available", lambda: True)
+    assert ops.resolve_bid_fn() is ops.bid_topk_pallas
+    monkeypatch.setattr(ops, "pallas_bid_available", lambda: False)
+    assert ops.resolve_bid_fn() is None

@@ -159,3 +159,17 @@ def test_measure_round_breakdown_smoke():
     assert out["round_s"] > 0 and out["compute_s"] > 0
     assert 0.0 <= out["comm_fraction"] <= 1.0
     assert out["nnz_imbalance"] >= 1.0
+
+
+def test_api_mode_sharded_one_flag():
+    """mode='sharded' / 'overlapped' reachable from the public entry point
+    (VERDICT round-1 weak item 7)."""
+    from sslap_tpu import auction_solve
+    rng = np.random.default_rng(24)
+    loc, val, dense = random_sparse_instance(rng, 32, 32, 0.25)
+    res = auction_solve(loc=loc, val=val, shape=(32, 32), mode="sharded")
+    assert res["meta"]["soln_found"]
+    assert res["meta"]["obj"] == scipy_dense_objective(dense)
+    res_o = auction_solve(loc=loc, val=val, shape=(32, 32),
+                          mode="overlapped")
+    assert res_o["meta"]["obj"] == scipy_dense_objective(dense)
