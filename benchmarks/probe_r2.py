@@ -319,7 +319,8 @@ def main():
     from sslap_tpu import compact as _compact
     valid = jnp.ones((n, K), bool)
     nvalid = jnp.full((n,), K, jnp.int32)
-    vals_m = _compact.mask_vals(vals_ell, valid)
+    rowpack = _compact.build_rowpack(
+        cols_ell, _compact.mask_vals(vals_ell, valid), nvalid)
     owner0 = jnp.full((m,), -1, jnp.int32)
     sigma0 = jnp.full((n,), -1, jnp.int32)
     bigp = jnp.float32(1001.0)
@@ -330,7 +331,7 @@ def main():
         def cr_step(c, C=C):
             prices, owner, sigma, ids, acc = c
             prices, owner, sigma, ids, n_won, n_evi = _compact.compact_round(
-                cols_ell, vals_m, nvalid, prices, owner, sigma, ids,
+                rowpack, prices, owner, sigma, ids,
                 jnp.float32(1.0), bigp)
             return (prices, owner, sigma, ids, acc + n_won)
 

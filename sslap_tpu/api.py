@@ -158,9 +158,11 @@ class AuctionSolver:
         vmax_abs = float(np.abs(vals[valid]).max()) if valid.any() else 0.0
         tr = _auction.make_transform(self.problem, prob.m, vals.dtype,
                                      vmax_abs, int_exact=prob.int_exact)
+        theta = (self.theta if self.theta is not None
+                 else _auction.DEVICE_THETA)
         e0, e_min, theta = _auction.default_eps_schedule(
             vals.dtype, vmax_abs, prob.m, tr.scale,
-            eps_min=self.eps_min, eps_start=self.eps_start, theta=self.theta,
+            eps_min=self.eps_min, eps_start=self.eps_start, theta=theta,
             int_exact=prob.int_exact)
         max_iter = (self.max_iter if self.max_iter is not None
                     else _auction.default_max_iter(prob.n))

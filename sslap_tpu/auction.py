@@ -482,6 +482,10 @@ def make_transform(problem: str, size: int, dtype, vmax_abs: float,
     return Transform(sign=sign, scale=1)
 
 
+DEVICE_THETA = 10.0   # measured best for the tiered device paths at 1M
+HOST_THETA = 5.0      # sslap-class reference schedule (CPU GS)
+
+
 def default_eps_schedule(dtype, vmax_abs: float, size: int, scale: int,
                          eps_min=None, eps_start=None, theta=5,
                          int_exact: bool = False):
@@ -490,6 +494,8 @@ def default_eps_schedule(dtype, vmax_abs: float, size: int, scale: int,
     1/(size+1), floored by the dtype's resolution of the cost range so
     prices keep moving (SURVEY.md SS8.2.3).  ``size`` = effective square
     dimension m (see make_transform)."""
+    if theta is None:
+        theta = HOST_THETA
     dtype = jnp.dtype(dtype)
     c = float(vmax_abs) * scale
     if int_exact:

@@ -179,22 +179,23 @@ def build_scpack(sc_cols, sc_vals, sc_tau, nvalid, kappa: int):
 
 
 def candidate_round(
-    cols, vals_m, nvalid, scpack,
+    rowpack, scpack,
     prices, owner, sigma,
     ids, backlog, eps, bigp,
     *,
     kappa: int,
     resc_cap: int,
     phase_start: bool = False,
-    pairs_resolve_max: int = 4096,
+    pairs_resolve_max: int = 8192,
 ):
     """One round: fast shortlist bids over ``ids`` [C] + a batched rescan of
     ``backlog[:resc_cap]`` (skipped when empty).  Returns (scpack, prices,
     owner, sigma, new_ids, new_backlog, n_won, n_evicted, n_rescanned)."""
-    n, K = cols.shape
+    from sslap_tpu import compact as _compact
+    n = sigma.shape[0]
     m = prices.shape[0]
     C = ids.shape[0]
-    dtype = vals_m.dtype
+    dtype = prices.dtype
     neg = neg_sentinel(dtype)
     resc_cap = min(resc_cap, backlog.shape[0])
 
@@ -211,12 +212,12 @@ def candidate_round(
 
     def do_rescan(operands):
         scpack, prices = operands
-        colsR = cols.at[rids].get(mode="clip")      # [Cr, K]
-        valsR = vals_m.at[rids].get(mode="clip")
+        pkR = rowpack.at[rids].get(mode="clip")     # [Cr, 2K+1] one gather
+        colsR, valsR, nvR = _compact._unpack_rows(pkR, dtype)
         wR = valsR - prices[colsR]
         sc_c, sc_v, tau, v1, v2, jstar, a_star = _topk_shortlist(
             wR, colsR, valsR, kappa, bigp)
-        nvR = jnp.where(rlive, nvalid.at[rids].get(mode="clip"), 0)
+        nvR = jnp.where(rlive, nvR, 0)
         v2 = jnp.where(nvR >= 2, v2, v1 - bigp)
         bid = a_star - v2 + eps
         bidding = rlive & (nvR > 0)
@@ -335,7 +336,8 @@ def solve_ell_candidates(
     max_iter = jnp.asarray(max_iter, jnp.int32)
     trunc = jnp.asarray(trunc, jnp.int32)
     all_rows = jnp.arange(n, dtype=jnp.int32)
-    vals_m = _compact.mask_vals(vals_t, valid)
+    rowpack = _compact.build_rowpack(cols, _compact.mask_vals(vals_t, valid),
+                                     nvalid)
 
     def count_active(ids, backlog):
         return (jnp.sum(ids < n) + jnp.sum(backlog < n)).astype(jnp.int32)
@@ -365,7 +367,7 @@ def solve_ell_candidates(
                  rsc) = c
                 (scpack, prices, owner, sigma, ids, backlog, n_won, n_evi,
                  n_resc) = candidate_round(
-                    cols, vals_m, nvalid, scpack, prices, owner, sigma,
+                    rowpack, scpack, prices, owner, sigma,
                     ids, backlog, eps, bigp, kappa=kappa, resc_cap=resc_cap)
                 return (scpack, prices, owner, sigma, ids, backlog,
                         act - n_won + n_evi, rnd + 1, rsc + n_resc)
@@ -375,8 +377,7 @@ def solve_ell_candidates(
                  rsc) = c
                 prices, owner, sigma, ids, n_won, n_evi = \
                     _compact.compact_round(
-                        cols, vals_m, nvalid, prices, owner, sigma,
-                        ids, eps, bigp)
+                        rowpack, prices, owner, sigma, ids, eps, bigp)
                 return (scpack, prices, owner, sigma, ids, backlog,
                         act - n_won + n_evi, rnd + 1, rsc)
 
@@ -418,7 +419,7 @@ def solve_ell_candidates(
             backlog0 = jnp.where(nvalid > 0, all_rows, jnp.int32(n))
             (scpack, prices, owner, sigma, ids, backlog, n_won, n_evi,
              n_resc) = candidate_round(
-                cols, vals_m, nvalid, scpack, prices, owner, sigma,
+                rowpack, scpack, prices, owner, sigma,
                 ids0, backlog0, st.eps, bigp, kappa=kappa, resc_cap=n)
             rescans = st.rescans + n_resc
         else:
@@ -428,7 +429,7 @@ def solve_ell_candidates(
             backlog0 = jnp.full((n,), n, jnp.int32)
             (scpack, prices, owner, sigma, ids, backlog, n_won, n_evi,
              n_resc) = candidate_round(
-                cols, vals_m, nvalid, scpack, prices, owner, sigma,
+                rowpack, scpack, prices, owner, sigma,
                 ids0, backlog0, st.eps, bigp, kappa=kappa, resc_cap=32,
                 phase_start=True)
             rescans = st.rescans + n_resc

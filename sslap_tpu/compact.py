@@ -69,11 +69,18 @@ class TieredState(NamedTuple):
 def default_tiers(n: int) -> Tuple[int, ...]:
     """Static tier capacities, descending.  The top tier is always n (the
     phase-start / bulk rounds); lower tiers shrink the per-round cost as the
-    active set collapses into eviction chains."""
+    active set collapses into eviction chains.
+
+    x2 spacing (round 2): a round costs its tier CAPACITY, not the live
+    count, so with ratio-r tiers the average capacity/active slack is
+    (r-1)/ln r -- 2.16x at the old r=4, 1.44x at r=2.  The finer ladder
+    cut measured 1M device time by ~1/4 (PERF.md)."""
     tiers = [n]
-    for c in (262144, 65536, 16384, 4096, 1024, 256, 64):
+    c = 2 ** 19
+    while c >= 64:
         if c < n:
             tiers.append(c)
+        c //= 2
     return tuple(tiers)
 
 
@@ -86,21 +93,45 @@ def _merge_active(stay: jax.Array, evicted: jax.Array, C: int, n: int):
     return cand[:C]
 
 
+def build_rowpack(cols, vals_m, nvalid):
+    """Pack (cols, masked vals, nvalid) into ONE [n, 2K+1] int32 array:
+    slice-gather cost is per ROW independent of width (PERF.md round-2
+    table), so one packed gather replaces three per active row per round.
+    Also ~2x less HBM: the lane dim pads to 128 once instead of thrice."""
+    if jnp.issubdtype(vals_m.dtype, jnp.integer):
+        bits = vals_m.astype(jnp.int32)
+    else:
+        bits = lax.bitcast_convert_type(vals_m, jnp.int32)
+    return jnp.concatenate(
+        [cols.astype(jnp.int32), bits, nvalid.astype(jnp.int32)[:, None]],
+        axis=1)
+
+
+def _unpack_rows(pk, dtype):
+    K = (pk.shape[-1] - 1) // 2
+    cols = pk[..., :K]
+    bits = pk[..., K:2 * K]
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.integer):
+        vals = bits.astype(dtype)
+    else:
+        vals = lax.bitcast_convert_type(bits, dtype)
+    return cols, vals, pk[..., 2 * K]
+
+
 def compact_round(
-    cols, vals_m, nvalid,          # ELL data; vals_m pre-masked (pad = neg)
+    rowpack,                       # [n, 2K+1] packed (cols, vals_m, nvalid)
     prices, owner, sigma,
     ids, eps, bigp,
     *,
     phase_start: bool = False,
-    pairs_resolve_max: int = 4096,
+    pairs_resolve_max: int = 8192,
 ):
     """One auction round over the compacted active set ``ids`` (pad = n).
 
-    ``vals_m`` must be the transformed values with padding entries set to
-    the neg sentinel (see mask_vals), which makes the validity mask
-    implicit: padded slots can never win a top-2.  ``nvalid`` is still used
-    for the exact single-valid-entry rule (v2 = v1 - bigp) and the
-    biddable test.
+    ``rowpack`` carries cols + pre-masked transformed values (padding =
+    neg sentinel, see mask_vals -- padded slots can never win a top-2) +
+    nvalid (for the exact single-valid-entry rule v2 = v1 - bigp and the
+    biddable test), packed so the round does ONE slice gather per row.
 
     With ``phase_start`` the round also performs the warm-started eps-CS
     violator scan: assigned rows in ``ids`` whose pair violates eps-CS at
@@ -109,24 +140,26 @@ def compact_round(
 
     Resolve strategy: for C <= pairs_resolve_max an all-pairs [C, C]
     comparison picks winners entirely in compact space (no O(m)
-    temporaries -- measured ~120 us/round of [m]-array traffic saved at
-    m = 1M); larger tiers use the scatter-max/scatter-min path.
+    temporaries and none of the ~9 scalar scatter/gather ops per row the
+    scatter path pays -- the VPU O(C^2) pass is cheaper up to ~8k);
+    larger tiers use the scatter-max/scatter-min path.
 
     Returns (prices, owner, sigma, new_ids, n_won, n_evicted).
     """
-    n, K = cols.shape
+    n = sigma.shape[0]
     m = prices.shape[0]
     C = ids.shape[0]
-    dtype = vals_m.dtype
+    dtype = prices.dtype
     neg = neg_sentinel(dtype)
 
     live = ids < n
     # clip-mode gathers (not where+gather): sidesteps an XLA TPU compiler
     # CHECK-failure ("cycle detected" in while-loop analysis) triggered by
     # select feeding gather inside nested while bodies.
-    colsC = cols.at[ids].get(mode="clip")       # [C, K] slice gather
-    valsC = vals_m.at[ids].get(mode="clip")
-    nvC = jnp.where(live, nvalid.at[ids].get(mode="clip"), 0)
+    pk = rowpack.at[ids].get(mode="clip")       # [C, 2K+1] one slice gather
+    colsC, valsC, nvC = _unpack_rows(pk, dtype)
+    K = colsC.shape[1]
+    nvC = jnp.where(live, nvC, 0)
 
     w = valsC - prices[colsC]                              # [C, K]
     slot = jnp.argmax(w, axis=1)
@@ -183,9 +216,13 @@ def compact_round(
     prices = prices.at[tgt_won].set(jnp.where(won, bid, prices[0]),
                                     mode="drop")
     owner = owner.at[tgt_won].set(ids, mode="drop")
-    sigma = sigma.at[jnp.where(won, ids, n)].set(tgt, mode="drop")
     evicted = jnp.where(prev_owner >= 0, prev_owner, jnp.int32(n))
-    sigma = sigma.at[evicted].set(-1, mode="drop")
+    # One fused sigma scatter: winners install their column, evictees
+    # clear (disjoint row sets: an assigned row never bids this round).
+    sig_idx = jnp.concatenate([jnp.where(won, ids, n), evicted])
+    sig_val = jnp.concatenate([tgt, jnp.full((evicted.shape[0],), -1,
+                                             jnp.int32)])
+    sigma = sigma.at[sig_idx].set(sig_val, mode="drop")
 
     stay = jnp.where(bidding & jnp.logical_not(won), ids, jnp.int32(n))
     new_ids = _merge_active(stay, evicted, C, n)
@@ -201,7 +238,7 @@ def mask_vals(vals_t, valid):
 
 
 def tier_ladder(
-    cols, vals_m, nvalid,
+    rowpack,
     prices, owner, sigma, ids, active, rounds, eps,
     *,
     bigp,
@@ -236,8 +273,7 @@ def tier_ladder(
         def body(c):
             prices, owner, sigma, ids, act, rnd, eps = c
             prices, owner, sigma, ids, n_won, n_evi = compact_round(
-                cols, vals_m, nvalid, prices, owner, sigma,
-                ids, eps, bigp)
+                rowpack, prices, owner, sigma, ids, eps, bigp)
             act = act - n_won + n_evi
             return (prices, owner, sigma, ids, act, rnd + 1, eps)
 
@@ -312,7 +348,7 @@ def solve_ell_tiered(
     theta = jnp.asarray(theta, dtype)
     max_iter = jnp.asarray(max_iter, jnp.int32)
     all_rows = jnp.arange(n, dtype=jnp.int32)
-    vals_m = mask_vals(vals_t, valid)
+    rowpack = build_rowpack(cols, mask_vals(vals_t, valid), nvalid)
 
     def count_active(ids):
         return jnp.sum(ids < n).astype(jnp.int32)
@@ -326,14 +362,14 @@ def solve_ell_tiered(
             # Everything unassigned; restrict to biddable rows.
             ids_full = jnp.where(nvalid > 0, all_rows, jnp.int32(n))
         prices, owner, sigma, ids, n_won, n_evi = compact_round(
-            cols, vals_m, nvalid, prices, owner, sigma,
+            rowpack, prices, owner, sigma,
             ids_full, st.eps, bigp, phase_start=not first)
         rounds = st.rounds + 1
         tier_rounds = st.tier_rounds.at[0].add(1)
         active = count_active(ids)
 
         prices, owner, sigma, ids, active, rounds, tier_rounds = tier_ladder(
-            cols, vals_m, nvalid,
+            rowpack,
             prices, owner, sigma, ids, active, rounds, st.eps,
             bigp=bigp, tiers=tiers, threshold=trunc, max_iter=max_iter,
             tier_rounds=tier_rounds)

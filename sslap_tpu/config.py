@@ -29,7 +29,9 @@ class AuctionConfig:
     problem: str = "min"                 # 'min' | 'max'
     eps_start: Optional[float] = None    # default: ~(cost range)/2 (scaled)
     eps_min: Optional[float] = None      # default: 1 (int) | 1/(m+1) (float)
-    theta: float = 5.0                   # geometric eps divisor
+    theta: Optional[float] = None        # geometric eps divisor; None =
+                                         # per-mode default (device 10 /
+                                         # cpu 5, measured)
     max_iter: Optional[int] = None       # round cap (safety valve)
     cardinality_check: bool = True       # Hopcroft-Karp pre-check
     mode: str = "auto"                   # 'auto'|'device'|'hybrid'|'cpu'
@@ -42,7 +44,7 @@ class AuctionConfig:
         if self.problem not in ("min", "max"):
             raise ValueError(
                 f"problem must be 'min' or 'max', got {self.problem!r}")
-        if self.theta <= 1:
+        if self.theta is not None and self.theta <= 1:
             raise ValueError("theta must be > 1")
         if self.mode not in ("auto", "device", "hybrid", "cpu"):
             raise ValueError(f"unknown mode {self.mode!r}")

@@ -148,7 +148,7 @@ def solve_hybrid(
     problem: str = "min",
     eps_start=None,
     eps_min=None,
-    theta: float = 5.0,
+    theta: Optional[float] = None,
     max_iter: Optional[int] = None,
     threshold: int = 4096,
     trunc: int = 256,
@@ -171,6 +171,14 @@ def solve_hybrid(
     n, m = prob.n, prob.m
     n_real = n if n_real is None else n_real
     n_dummy = m - n_real
+    if theta is None:
+        # theta=None -> per-mode default: the device schedule trades more
+        # cheap compacted rounds for fewer expensive full-width phase
+        # starts (theta=10 measured best at 1M, benchmarks/
+        # sweep_schedule.py); the CPU engine keeps the sslap-class 5.
+        theta = (_auction.DEVICE_THETA
+                 if mode == "hybrid" and m - n_real == 0
+                 else _auction.HOST_THETA)
     vals_np = np.asarray(prob.vals)
     valid_np = np.asarray(prob.valid)
     dtype = vals_np.dtype

@@ -218,7 +218,7 @@ def auction_solve_overlapped(
     mesh: Optional[Mesh] = None,
     eps_start=None,
     eps_min=None,
-    theta: float = 5.0,
+    theta: Optional[float] = None,
     max_iter: Optional[int] = None,
     cardinality_check: bool = True,
     dtype=None,
@@ -249,7 +249,8 @@ def auction_solve_overlapped(
     tr = _auction.make_transform(problem, prob.m, vals_np.dtype, vmax_abs)
     e0, e_min, theta_v = _auction.default_eps_schedule(
         vals_np.dtype, vmax_abs, prob.m, tr.scale,
-        eps_min=eps_min, eps_start=eps_start, theta=theta)
+        eps_min=eps_min, eps_start=eps_start,
+        theta=_auction.DEVICE_THETA if theta is None else theta)
     if max_iter is None:
         max_iter = _auction.default_max_iter(prob.n)
 

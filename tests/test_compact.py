@@ -51,8 +51,9 @@ def test_compact_round_matches_reference_round(Ccap):
         p_ref, o_ref, s_ref = A.jacobi_round(
             cols, vals_t, valid, nvalid, prices, owner,
             jnp.where(jnp.arange(n) < Ccap, -1, 0), eps, bigp)
+    rowpack = C.build_rowpack(cols, vals_m, nvalid)
     p_c, o_c, s_c, new_ids, n_won, n_evi = C.compact_round(
-        cols, vals_m, nvalid, prices, owner,
+        rowpack, prices, owner,
         jnp.full((n,), -1, jnp.int32) if Ccap >= n else
         jnp.where(jnp.arange(n) < Ccap, -1, 0),
         ids, eps, bigp)
