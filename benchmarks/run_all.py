@@ -199,20 +199,22 @@ def sol_calibration(small=False):
 
 
 def scale_smoke(small=False):
-    """Single-chip capacity smoke toward config 5's 10M x 10M: ingest +
-    feasibility + bounded device rounds at the largest instance one v5e
-    holds.  Measured: the [n, K] ELL layout pads K (~33 at 10 nnz/row) to
-    128 lanes, so a 10M-row instance needs ~16 GB > one chip's HBM -- the
-    10M x 10M config genuinely requires the multi-chip row partition it is
-    specified with (>= 2-4 chips; >= 2 hosts for the DCN measurement).
-    This smoke runs 4M rows (~40M nnz) to prove memory/layout/index-width
-    viability at almost half the pod-scale row count."""
+    """Single-chip capacity smoke for config 5's 10M x 10M: ingest +
+    device-seeded feasibility + bounded tiered rounds on ONE chip.
+
+    Round 1 found the separate lane-padded ELL arrays need ~16 GB at 10M
+    rows (OOM).  Round 2's line-packed RowPack (compact.np_build_rowpack,
+    SURVEY.md SS8.2 item 5) packs R = 128 // (2K+1) rows per 128-lane line
+    host-side, so the full 10M-row / 100M-nnz instance ships ~1 GB and
+    runs bounded rounds on one v5e; the multi-chip row partition remains
+    the config's real execution plan (this proves per-chip capacity)."""
     import jax
     import jax.numpy as jnp
     from sslap_tpu import ingest as _ingest
     from sslap_tpu import auction as _auction
+    from sslap_tpu import compact as _compact
     from sslap_tpu import feasibility as _feas
-    n = 1_000_000 if small else 4_000_000
+    n = 1_000_000 if small else 10_000_000
     t0 = time.perf_counter()
     loc, val = make_sparse(n, n, 10, seed=7)
     t_gen = time.perf_counter() - t0
@@ -222,23 +224,34 @@ def scale_smoke(small=False):
     t0 = time.perf_counter()
     feasible = _feas.is_feasible(prob)
     t_hk = time.perf_counter() - t0
-    # Bounded sharded-style rounds on the available mesh (full-width).
-    tr = _auction.make_transform("min", n, np.asarray(prob.vals).dtype,
-                                 float(val.max()))
-    vals_t = tr.apply(prob.vals)
+    vals_np = np.asarray(prob.vals)
+    tr = _auction.make_transform("min", n, vals_np.dtype, float(val.max()))
     e0, e_min, th = _auction.default_eps_schedule(
-        np.asarray(prob.vals).dtype, float(val.max()), n, tr.scale)
+        vals_np.dtype, float(val.max()), n, tr.scale,
+        theta=_auction.DEVICE_THETA)
     t0 = time.perf_counter()
-    res = jax.jit(lambda *a: _auction.solve_ell(*a, e0, e_min, th, 20))(
-        prob.cols, vals_t, prob.valid, prob.nvalid,
+    vals_t = vals_np * np.asarray(tr.sign * tr.scale, vals_np.dtype)
+    rowpack = _compact.np_build_rowpack(
+        np.asarray(prob.cols), vals_t, np.asarray(prob.valid),
+        np.asarray(prob.nvalid))
+    bigp = float(vals_t[np.asarray(prob.valid)].max()
+                 - vals_t[np.asarray(prob.valid)].min()) + 1.0
+    t_pack = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res, _ = jax.jit(
+        lambda rp, nv, p0: _compact.solve_rowpack_tiered(
+            rp, nv, p0, e0, e_min, th, 60, bigp=bigp, trunc=256))(
+        rowpack, jnp.asarray(np.asarray(prob.nvalid)),
         jnp.zeros((n,), vals_t.dtype))
     unassigned = int(np.asarray(res.unassigned))
+    rounds = int(np.asarray(res.rounds))
     t_rounds = time.perf_counter() - t0
     return {"config": "scale-smoke", "n": n, "nnz": len(val),
             "gen_s": round(t_gen, 1), "ingest_s": round(t_ing, 1),
             "hk_feasible": bool(feasible), "hk_s": round(t_hk, 1),
-            "rounds": 20, "rounds_s": round(t_rounds, 1),
-            "assigned_after_20_rounds": n - unassigned}
+            "pack_s": round(t_pack, 1),
+            "rounds": rounds, "rounds_s": round(t_rounds, 1),
+            "assigned_after_rounds": n - unassigned}
 
 
 CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4,

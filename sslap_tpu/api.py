@@ -199,11 +199,12 @@ class AuctionSolver:
     def _resolve_engine(self) -> str:
         if self.engine != "auto":
             return self.engine
-        # Candidate-list rounds win when rows carry enough entries that the
-        # kappa-shortlist saves gathers at the wide tiers (PERF.md round-2
-        # A/B); tiny problems see no wide tiers at all.
-        n = self.problem_spec.n
-        return "candidates" if n > 16384 else "compact"
+        # Measured (PERF.md round-2 engine A/B at 1M): the kappa-shortlist
+        # engine loses to exact compact rounds on this stack -- stale-tau
+        # certification fails en masse at phase starts and floods the
+        # rescan backlog (device 40.8 s vs 11.9 s).  compact is the
+        # default everywhere; 'candidates' stays available explicitly.
+        return "compact"
 
     def solve(self, warm_prices=None) -> AuctionSolution:
         prob = self.problem_spec

@@ -212,7 +212,7 @@ def candidate_round(
 
     def do_rescan(operands):
         scpack, prices = operands
-        pkR = rowpack.at[rids].get(mode="clip")     # [Cr, 2K+1] one gather
+        pkR = _compact.fetch_rows(rowpack, rids)    # [Cr, 2K+1] one gather
         colsR, valsR, nvR = _compact._unpack_rows(pkR, dtype)
         wR = valsR - prices[colsR]
         sc_c, sc_v, tau, v1, v2, jstar, a_star = _topk_shortlist(

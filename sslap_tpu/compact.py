@@ -76,7 +76,7 @@ def default_tiers(n: int) -> Tuple[int, ...]:
     (r-1)/ln r -- 2.16x at the old r=4, 1.44x at r=2.  The finer ladder
     cut measured 1M device time by ~1/4 (PERF.md)."""
     tiers = [n]
-    c = 2 ** 19
+    c = 1 << max((n - 1).bit_length() - 1, 6)   # largest power of two < n
     while c >= 64:
         if c < n:
             tiers.append(c)
@@ -93,18 +93,94 @@ def _merge_active(stay: jax.Array, evicted: jax.Array, C: int, n: int):
     return cand[:C]
 
 
-def build_rowpack(cols, vals_m, nvalid):
-    """Pack (cols, masked vals, nvalid) into ONE [n, 2K+1] int32 array:
-    slice-gather cost is per ROW independent of width (PERF.md round-2
-    table), so one packed gather replaces three per active row per round.
-    Also ~2x less HBM: the lane dim pads to 128 once instead of thrice."""
+import dataclasses
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class RowPack:
+    """Line-packed per-row solver data.
+
+    ``data`` is [L, R*W] int32 where each 128-lane line carries R
+    consecutive rows of width W = 2K+1 (cols, value bits, nvalid).  TPU
+    pads the minor (lane) dimension to 128, so a plain [n, W] array wastes
+    128/W of HBM -- the K-class packing (SURVEY.md SS8.2 item 5) stores
+    R = 128 // W rows per line instead, cutting the dominant solver array
+    ~R-fold (measured: the 10M-row config-5 instance drops from >16 GB to
+    ~1 GB and fits one chip).  Row fetches gather the LINE (slice-gather
+    cost is per row fetched, width-free) and select the R-slot on the VPU.
+    """
+
+    data: jax.Array
+    R: int
+    W: int
+
+    def tree_flatten(self):
+        return ((self.data,), (self.R, self.W))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(data=children[0], R=aux[0], W=aux[1])
+
+
+def build_rowpack(cols, vals_m, nvalid, pack_lines: bool = True):
+    """Pack (cols, masked vals, nvalid) into line-packed RowPack (or a
+    plain [n, 2K+1] int32 array when R would be 1): one slice gather per
+    active row per round (PERF.md round-2 table) and ~R x 128/(2K+1) less
+    HBM than the separate padded arrays."""
     if jnp.issubdtype(vals_m.dtype, jnp.integer):
         bits = vals_m.astype(jnp.int32)
     else:
         bits = lax.bitcast_convert_type(vals_m, jnp.int32)
-    return jnp.concatenate(
+    base = jnp.concatenate(
         [cols.astype(jnp.int32), bits, nvalid.astype(jnp.int32)[:, None]],
         axis=1)
+    n, W = base.shape
+    R = max(128 // W, 1) if pack_lines else 1
+    if R == 1:
+        return base
+    npad = ((n + R - 1) // R) * R
+    if npad != n:
+        base = jnp.pad(base, ((0, npad - n), (0, 0)))   # nvalid 0: inert
+    return RowPack(data=base.reshape(npad // R, R * W), R=R, W=W)
+
+
+def np_build_rowpack(cols, vals_t, valid, nvalid) -> "RowPack":
+    """Host-side (numpy) rowpack builder: pack BEFORE the device transfer
+    so capacity-scale instances never materialize the lane-padded ELL
+    arrays on chip (or ship 2x the bytes over the tunnel)."""
+    import numpy as np
+    dtype = vals_t.dtype
+    neg = np.asarray(neg_sentinel(dtype))
+    vals_m = np.where(valid, vals_t, neg)
+    if np.issubdtype(dtype, np.integer):
+        bits = vals_m.astype(np.int32)
+    else:
+        bits = vals_m.astype(np.float32).view(np.int32)
+    base = np.concatenate(
+        [cols.astype(np.int32), bits,
+         nvalid.astype(np.int32)[:, None]], axis=1)
+    n, W = base.shape
+    R = max(128 // W, 1)
+    if R == 1:
+        return base
+    npad = ((n + R - 1) // R) * R
+    if npad != n:
+        base = np.pad(base, ((0, npad - n), (0, 0)))
+    return RowPack(data=np.ascontiguousarray(base.reshape(npad // R, R * W)),
+                   R=R, W=W)
+
+
+def fetch_rows(rowpack, ids):
+    """Gather packed per-row data for ``ids``: [C, W] int32.  Callers mask
+    dead ids themselves (clip-mode gathers return arbitrary real rows)."""
+    if not isinstance(rowpack, RowPack):
+        return rowpack.at[ids].get(mode="clip")
+    R, W = rowpack.R, rowpack.W
+    lines = rowpack.data.at[ids // R].get(mode="clip")   # [C, R*W]
+    lines3 = lines.reshape(ids.shape[0], R, W)
+    oh = (ids % R)[:, None] == jnp.arange(R, dtype=jnp.int32)[None, :]
+    return jnp.sum(jnp.where(oh[:, :, None], lines3, 0), axis=1)
 
 
 def _unpack_rows(pk, dtype):
@@ -156,7 +232,7 @@ def compact_round(
     # clip-mode gathers (not where+gather): sidesteps an XLA TPU compiler
     # CHECK-failure ("cycle detected" in while-loop analysis) triggered by
     # select feeding gather inside nested while bodies.
-    pk = rowpack.at[ids].get(mode="clip")       # [C, 2K+1] one slice gather
+    pk = fetch_rows(rowpack, ids)               # [C, 2K+1] one slice gather
     colsC, valsC, nvC = _unpack_rows(pk, dtype)
     K = colsC.shape[1]
     nvC = jnp.where(live, nvC, 0)
@@ -327,28 +403,54 @@ def solve_ell_tiered(
     the whole algorithm state (SURVEY.md SS6 'Checkpoint / resume'), so a
     periodic host snapshot between calls makes long solves crash-proof."""
     n, K = cols.shape
-    m = p0.shape[0]
     dtype = vals_t.dtype
     neg = neg_sentinel(dtype)
     pos = -neg
-    if tiers is None:
-        tiers = default_tiers(n)
-    assert tiers[0] == n, "top tier must cover all rows"
-
     if bigp is None:
         vmax = jnp.max(jnp.where(valid, vals_t, neg))
         vmin = jnp.min(jnp.where(valid, vals_t, pos))
         one = jnp.asarray(1, dtype)
         bigp = jnp.maximum(vmax - vmin, jnp.zeros_like(one)) + one
-    else:
-        bigp = jnp.asarray(bigp, dtype)
+    rowpack = build_rowpack(cols, mask_vals(vals_t, valid), nvalid)
+    return solve_rowpack_tiered(
+        rowpack, nvalid, p0, eps0, eps_min, theta, max_iter,
+        tiers=tiers, bigp=bigp, trunc=trunc, init_state=init_state,
+        max_phases=max_phases)
+
+
+def solve_rowpack_tiered(
+    rowpack,
+    nvalid: jax.Array,
+    p0: jax.Array,
+    eps0,
+    eps_min,
+    theta,
+    max_iter,
+    *,
+    bigp,
+    tiers: Optional[Tuple[int, ...]] = None,
+    trunc=0,
+    init_state: Optional[TieredState] = None,
+    max_phases: Optional[int] = None,
+):
+    """Tiered solve over pre-packed per-row data (see solve_ell_tiered for
+    the contract).  Taking a RowPack directly matters at capacity scale:
+    a host-packed 10M-row instance ships ~1 GB to the device instead of
+    the >16 GB the separate lane-padded ELL arrays would occupy
+    (SURVEY.md SS8.2 item 5 / VERDICT round-1 item 2)."""
+    n = nvalid.shape[0]
+    m = p0.shape[0]
+    dtype = p0.dtype
+    if tiers is None:
+        tiers = default_tiers(n)
+    assert tiers[0] == n, "top tier must cover all rows"
+    bigp = jnp.asarray(bigp, dtype)
 
     eps0 = jnp.maximum(jnp.asarray(eps0, dtype), jnp.asarray(eps_min, dtype))
     eps_min = jnp.asarray(eps_min, dtype)
     theta = jnp.asarray(theta, dtype)
     max_iter = jnp.asarray(max_iter, jnp.int32)
     all_rows = jnp.arange(n, dtype=jnp.int32)
-    rowpack = build_rowpack(cols, mask_vals(vals_t, valid), nvalid)
 
     def count_active(ids):
         return jnp.sum(ids < n).astype(jnp.int32)

@@ -133,3 +133,65 @@ def test_phase_chunked_resume_matches_single_call():
     np.testing.assert_array_equal(np.asarray(ref.sigma), np.asarray(res.sigma))
     assert int(ref.rounds) == int(res.rounds)
     assert int(ref.phases) == int(res.phases)
+
+
+# ---- line-packed RowPack (round 2: K-class packing, VERDICT item 2) -------
+
+def test_np_rowpack_matches_device_rowpack():
+    rng = np.random.default_rng(40)
+    n, m, K = 37, 50, 6
+    cols = rng.integers(0, m, (n, K)).astype(np.int32)
+    vals = (rng.random((n, K)) * 100).astype(np.float32)
+    valid = rng.random((n, K)) < 0.7
+    nvalid = valid.sum(1).astype(np.int32)
+    host = C.np_build_rowpack(cols, vals, valid, nvalid)
+    dev = C.build_rowpack(jnp.asarray(cols),
+                          C.mask_vals(jnp.asarray(vals), jnp.asarray(valid)),
+                          jnp.asarray(nvalid))
+    assert isinstance(host, C.RowPack) and isinstance(dev, C.RowPack)
+    assert host.R == dev.R and host.W == dev.W
+    np.testing.assert_array_equal(np.asarray(host.data), np.asarray(dev.data))
+    # fetch_rows round-trips the packed rows
+    ids = jnp.asarray(np.arange(n, dtype=np.int32))
+    pk = C.fetch_rows(dev, ids)
+    np.testing.assert_array_equal(np.asarray(pk[:, :K]), cols)
+
+
+def test_rowpack_wide_rows_fall_back_to_plain():
+    # W = 2K+1 > 64 -> R = 1 -> plain [n, W] array
+    rng = np.random.default_rng(41)
+    n, m, K = 10, 40, 40
+    cols = rng.integers(0, m, (n, K)).astype(np.int32)
+    vals = (rng.random((n, K)) * 100).astype(np.float32)
+    valid = np.ones((n, K), bool)
+    pk = C.np_build_rowpack(cols, vals, valid, valid.sum(1).astype(np.int32))
+    assert not isinstance(pk, C.RowPack)
+    assert pk.shape == (n, 2 * K + 1)
+
+
+def test_solve_rowpack_tiered_equals_solve_ell_tiered():
+    rng = np.random.default_rng(42)
+    n = 150
+    mask = rng.random((n, n)) < 0.15
+    perm = rng.permutation(n); mask[np.arange(n), perm] = True
+    M = np.where(mask, rng.integers(1, 500, (n, n)), -1).astype(np.int64)
+    from sslap_tpu import ingest, auction as A
+    prob = ingest.from_dense(M)
+    vals = np.asarray(prob.vals); valid = np.asarray(prob.valid)
+    vmax = float(np.abs(vals[valid]).max())
+    tr = A.make_transform("min", n, vals.dtype, vmax)
+    e0, emin, th = A.default_eps_schedule(vals.dtype, vmax, n, tr.scale)
+    mi = A.default_max_iter(n)
+    vt = tr.apply(prob.vals)
+    res_a, _ = jax.jit(lambda *a: C.solve_ell_tiered(*a, e0, emin, th, mi))(
+        prob.cols, vt, prob.valid, prob.nvalid, jnp.zeros((n,), vt.dtype))
+    vals_t_np = vals * np.asarray(tr.sign * tr.scale, vals.dtype)
+    rowpack = C.np_build_rowpack(np.asarray(prob.cols), vals_t_np, valid,
+                                 np.asarray(prob.nvalid))
+    bigp = float(vals_t_np[valid].max() - vals_t_np[valid].min()) + 1
+    res_b, _ = jax.jit(lambda rp, nv, p0: C.solve_rowpack_tiered(
+        rp, nv, p0, e0, emin, th, mi, bigp=bigp))(
+        rowpack, jnp.asarray(np.asarray(prob.nvalid)),
+        jnp.zeros((n,), vt.dtype))
+    np.testing.assert_array_equal(np.asarray(res_a.sigma),
+                                  np.asarray(res_b.sigma))
