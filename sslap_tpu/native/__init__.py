@@ -16,7 +16,6 @@ if _lib is not None:
     from sslap_tpu.native.build import (
         auction_gs,
         build_ell_native,
-        build_csc_native,
         hopcroft_karp_native,
         hopcroft_karp_warm_native,
         unassign_violators_native,
@@ -27,4 +26,3 @@ else:  # toolchain unavailable: numpy fallbacks are used by callers
     build_ell_native = None
     auction_gs = None
     unassign_violators_native = None
-    build_csc_native = None

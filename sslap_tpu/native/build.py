@@ -110,14 +110,6 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.sslap_auction_gs_pf_f32.argtypes = lib.sslap_auction_gs_f32.argtypes
     lib.sslap_auction_gs_pf_i32.restype = ctypes.c_int64
     lib.sslap_auction_gs_pf_i32.argtypes = lib.sslap_auction_gs_i32.argtypes
-    lib.sslap_build_csc_f32.restype = ctypes.c_int64
-    lib.sslap_build_csc_f32.argtypes = [
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        i32p, b8p, f32p, ctypes.c_int64, i32p, f32p, i64p]
-    lib.sslap_build_csc_i32.restype = ctypes.c_int64
-    lib.sslap_build_csc_i32.argtypes = [
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        i32p, b8p, i32p, ctypes.c_int64, i32p, i32p, i64p]
     lib.sslap_unassign_violators_f32.restype = None
     lib.sslap_unassign_violators_f32.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i64p, i32p, f32p,
@@ -204,40 +196,6 @@ def auction_gs(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
         _ptr(vals, ct), _ptr(prices, ct), _ptr(sigma, ctypes.c_int32),
         _ptr(owner, ctypes.c_int32), ct(eps), ct(bigp),
         int(n_dummy_total), int(max_bids)))
-
-
-def build_csc_native(cols: np.ndarray, valid: np.ndarray,
-                     vals: np.ndarray, m: int):
-    """Column-ELL (CSC) tables over a row-ELL layout, for the streamed-w
-    solver: returns (csc_pos [m, Kc] i32 flat row-ELL positions with pad
-    n*K, csc_val [m, Kc], Kc).  None if the native library is missing."""
-    lib = load_native()
-    if lib is None:
-        return None
-    n, K = cols.shape
-    cols = np.ascontiguousarray(cols, np.int32)
-    valid = np.ascontiguousarray(valid, bool)
-    if vals.dtype == np.float32:
-        fn, ct = lib.sslap_build_csc_f32, ctypes.c_float
-    elif vals.dtype == np.int32:
-        fn, ct = lib.sslap_build_csc_i32, ctypes.c_int32
-    else:
-        return None
-    vals = np.ascontiguousarray(vals)
-    counts = np.empty(m, np.int64)
-    dummy_i = np.empty(1, np.int32)
-    dummy_v = np.empty(1, vals.dtype)
-    Kc = int(fn(n, m, K, _ptr(cols, ctypes.c_int32), _ptr(valid, ctypes.c_bool),
-                _ptr(vals, ct), 0, _ptr(dummy_i, ctypes.c_int32),
-                _ptr(dummy_v, ct), _ptr(counts, ctypes.c_int64)))
-    Kc = max(Kc, 1)
-    csc_pos = np.empty((m, Kc), np.int32)
-    csc_val = np.empty((m, Kc), vals.dtype)
-    r = fn(n, m, K, _ptr(cols, ctypes.c_int32), _ptr(valid, ctypes.c_bool),
-           _ptr(vals, ct), Kc, _ptr(csc_pos, ctypes.c_int32),
-           _ptr(csc_val, ct), _ptr(counts, ctypes.c_int64))
-    assert r >= 0
-    return csc_pos, csc_val, Kc
 
 
 def unassign_violators_native(indptr: np.ndarray, indices: np.ndarray,

@@ -364,48 +364,6 @@ int64_t auction_gs(int64_t n, int64_t m, const int64_t* indptr,
   return bids;
 }
 
-// Column-ELL (CSC) build over the row-ELL layout, for the streamed-w
-// solver (compact.py): for every column j, the flat positions i*K + k of
-// its stored entries, padded to Kc with n*K.  Two-call protocol mirroring
-// sslap_coo_prepare: pass Kc = 0 to get the required Kc back; then call
-// again with allocated outputs.
-template <typename T>
-int64_t build_csc(int64_t n, int64_t m, int64_t K,
-                  const int32_t* cols, const bool* valid, const T* vals,
-                  int64_t Kc, int32_t* csc_pos, T* csc_val,
-                  int64_t* counts) {
-  std::fill(counts, counts + m, int64_t{0});
-  for (int64_t i = 0; i < n; ++i) {
-    for (int64_t k = 0; k < K; ++k) {
-      if (valid[i * K + k]) ++counts[cols[i * K + k]];
-    }
-  }
-  int64_t kc = 0;
-  for (int64_t j = 0; j < m; ++j) kc = std::max(kc, counts[j]);
-  if (Kc == 0) return kc;
-  if (kc > Kc) return -1;
-  std::vector<int64_t> cursor(m, 0);
-  const int32_t pad_pos = static_cast<int32_t>(n * K);
-  for (int64_t j = 0; j < m; ++j) {
-    for (int64_t s = 0; s < Kc; ++s) {
-      csc_pos[j * Kc + s] = pad_pos;
-      csc_val[j * Kc + s] = T(0);
-    }
-  }
-  // Row-major scan => positions within each column sorted by row id.
-  for (int64_t i = 0; i < n; ++i) {
-    for (int64_t k = 0; k < K; ++k) {
-      int64_t idx = i * K + k;
-      if (!valid[idx]) continue;
-      int64_t j = cols[idx];
-      int64_t s = cursor[j]++;
-      csc_pos[j * Kc + s] = static_cast<int32_t>(idx);
-      csc_val[j * Kc + s] = vals[idx];
-    }
-  }
-  return kc;
-}
-
 // Warm-started eps-scaling: unassign only the pairs violating eps-CS for
 // the new (smaller) eps.  Mirrors auction.py:unassign_violators exactly so
 // device and host phases interoperate in the hybrid path.
@@ -441,23 +399,6 @@ void unassign_violators(int64_t n, int64_t m, const int64_t* indptr,
 }  // namespace
 
 extern "C" {
-
-int64_t sslap_build_csc_f32(int64_t n, int64_t m, int64_t K,
-                            const int32_t* cols, const bool* valid,
-                            const float* vals, int64_t Kc, int32_t* csc_pos,
-                            float* csc_val, int64_t* counts) {
-  return build_csc<float>(n, m, K, cols, valid, vals, Kc, csc_pos, csc_val,
-                          counts);
-}
-
-int64_t sslap_build_csc_i32(int64_t n, int64_t m, int64_t K,
-                            const int32_t* cols, const bool* valid,
-                            const int32_t* vals, int64_t Kc,
-                            int32_t* csc_pos, int32_t* csc_val,
-                            int64_t* counts) {
-  return build_csc<int32_t>(n, m, K, cols, valid, vals, Kc, csc_pos,
-                            csc_val, counts);
-}
 
 void sslap_unassign_violators_f32(int64_t n, int64_t m, const int64_t* indptr,
                                   const int32_t* indices, const float* vals,
