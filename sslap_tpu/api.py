@@ -148,6 +148,10 @@ class AuctionSolver:
         self.engine = engine
         self.prices: Optional[np.ndarray] = None
         self.meta: Optional[dict] = None
+        # Device-resident problem data reused across solve() calls
+        # (construct-once workloads re-solve with warm prices without
+        # re-paying the H2D transfer; see hybrid.solve_hybrid).
+        self._device_cache: dict = {}
 
     # -- internals ---------------------------------------------------------
 
@@ -159,7 +163,7 @@ class AuctionSolver:
         tr = _auction.make_transform(self.problem, prob.m, vals.dtype,
                                      vmax_abs, int_exact=prob.int_exact)
         theta = (self.theta if self.theta is not None
-                 else _auction.DEVICE_THETA)
+                 else _auction.device_theta_default(prob.n))
         e0, e_min, theta = _auction.default_eps_schedule(
             vals.dtype, vmax_abs, prob.m, tr.scale,
             eps_min=self.eps_min, eps_start=self.eps_start, theta=theta,
@@ -243,7 +247,8 @@ class AuctionSolver:
                     eps_min=self.eps_min, theta=self.theta,
                     max_iter=self.max_iter, mode=mode,
                     warm_prices=warm_prices,
-                    keep_assignment=self.keep_assignment, engine=engine)
+                    keep_assignment=self.keep_assignment, engine=engine,
+                    device_cache=self._device_cache)
             except jax.errors.JaxRuntimeError as e:
                 if mode != "hybrid":
                     raise

@@ -486,6 +486,14 @@ DEVICE_THETA = 10.0   # measured best for the tiered device paths at 1M
 HOST_THETA = 5.0      # sslap-class reference schedule (CPU GS)
 
 
+def device_theta_default(n: int) -> float:
+    """Size-aware device schedule: theta=10 wins at 1M (fewer expensive
+    full-width phase starts) but loses below ~100k, where the aggressive
+    eps drops leave the host GS tail re-auctioning long chains at eps_min
+    (measured both ways, benchmarks/sweep_schedule.py at 50k and 1M)."""
+    return DEVICE_THETA if n >= 200_000 else HOST_THETA
+
+
 def default_eps_schedule(dtype, vmax_abs: float, size: int, scale: int,
                          eps_min=None, eps_start=None, theta=5,
                          int_exact: bool = False):

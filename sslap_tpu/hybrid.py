@@ -83,6 +83,22 @@ def ell_to_csr_transformed(prob: ELLProblem, sign: int, scale: int
     return indptr, indices, data
 
 
+def _compact_mod():
+    from sslap_tpu import compact as _compact
+    return _compact
+
+
+@jax.jit
+def _device_rowpack_solve(rowpack, nvalid, p0, eps0, eps_min, theta,
+                          max_iter, bigp, trunc):
+    """Truncated tiered solve over a pre-packed (and possibly device-
+    cached) RowPack -- the square hybrid's production entry."""
+    res, st = _compact_mod().solve_rowpack_tiered(
+        rowpack, nvalid, p0, eps0, eps_min, theta, max_iter,
+        bigp=bigp, trunc=trunc)
+    return res, st.tier_rounds
+
+
 @functools.partial(jax.jit, static_argnames=("engine",))
 def _device_truncated_solve(cols, vals_t, valid, nvalid, p0,
                             eps0, eps_min, theta, max_iter, bigp, trunc,
@@ -142,6 +158,53 @@ def _device_phase(cols, vals_t, valid, nvalid, prices, owner, sigma,
     return prices, owner, sigma, rounds, active(sigma, owner)
 
 
+
+
+def _finish_square_fast_path(res, tier_rounds, prob, indptr, indices, data,
+                             prices, sigma, owner, e_min, bigp, tr, n, mode,
+                             t0, t_dev0):
+    """Shared tail of the square hybrid: read back device state, run the
+    native GS finisher at eps_min, build the meta dict (honest optimality
+    accounting -- see inline comments)."""
+    prices = np.array(res.prices)
+    sigma = np.array(res.sigma)
+    dev_rounds = int(res.rounds)
+    t_dev = time.perf_counter() - t_dev0
+    # owner is derivable from sigma for square problems (no dummies).
+    owner[:] = -1
+    assigned = sigma >= 0
+    owner[sigma[assigned]] = np.nonzero(assigned)[0].astype(np.int32)
+    t_gs0 = time.perf_counter()
+    bids = _gs(indptr, indices, data, prices, sigma, owner,
+               e_min, bigp, 0, 100 * n + 10_000_000)
+    t_gs = time.perf_counter() - t_gs0
+    unassigned = int(((sigma < 0) & (np.diff(indptr) > 0)).sum())
+    # Honest optimality accounting: the eps_min-CS guarantee only holds
+    # if the device pass actually descended to eps_min (its final
+    # phase's violator scan re-auctions stale pairs).  If it exited on
+    # the round budget at eps > eps_min, the host GS still completes the
+    # assignment, but earlier-assigned pairs are only final_eps-CS.
+    dev_eps = float(np.asarray(res.final_eps))
+    # Compare in the DEVICE dtype: e_min is host float64 and the f32
+    # device eps may round a hair above it, which must not read as
+    # "never reached eps_min".
+    eps_reached = bool(np.asarray(res.final_eps)
+                       <= np.asarray(e_min, data.dtype))
+    meta = {
+        "its": dev_rounds,
+        "host_bids": max(int(bids), 0),
+        "phases": int(res.phases),
+        "final_eps": (float(e_min) if eps_reached else dev_eps) / tr.scale,
+        "unassigned": unassigned,
+        "soln_found": unassigned == 0 and bids >= 0 and eps_reached,
+        "time": time.perf_counter() - t0,
+        "device_time": t_dev,
+        "host_gs_time": t_gs,
+        "tier_rounds": np.asarray(tier_rounds).tolist(),
+        "mode": mode,
+    }
+    return sigma, prices, meta
+
 def solve_hybrid(
     prob: ELLProblem,
     *,
@@ -158,6 +221,7 @@ def solve_hybrid(
     keep_assignment: bool = True,
     engine: str = "compact",         # square device engine (see
                                      # _device_truncated_solve)
+    device_cache: Optional[dict] = None,
 ):
     """eps-scaled solve with device bulk + host tail (or pure host).
 
@@ -172,11 +236,10 @@ def solve_hybrid(
     n_real = n if n_real is None else n_real
     n_dummy = m - n_real
     if theta is None:
-        # theta=None -> per-mode default: the device schedule trades more
-        # cheap compacted rounds for fewer expensive full-width phase
-        # starts (theta=10 measured best at 1M, benchmarks/
-        # sweep_schedule.py); the CPU engine keeps the sslap-class 5.
-        theta = (_auction.DEVICE_THETA
+        # theta=None -> per-mode, size-aware default (see
+        # auction.device_theta_default); the CPU engine keeps the
+        # sslap-class 5.
+        theta = (_auction.device_theta_default(n)
                  if mode == "hybrid" and m - n_real == 0
                  else _auction.HOST_THETA)
     vals_np = np.asarray(prob.vals)
@@ -206,7 +269,7 @@ def solve_hybrid(
     owner = np.full(m, -1, np.int32)
 
     use_device = mode == "hybrid"
-    if use_device and n_dummy == 0:
+    if use_device and n_dummy == 0 and engine == "compact":
         # Square fast path: every eps phase runs on device in one jit call,
         # truncated at ``threshold`` active rows; a single native GS pass at
         # eps_min then finishes the assignment.  Correct because only the
@@ -215,6 +278,40 @@ def solve_hybrid(
         # (n = 20k, 10 nnz/row): ~82% of rounds carry < 16 bids (host's
         # serial regime), while < 1% of rounds carry > 45% of bids
         # (device's wide regime).
+        #
+        # The per-row data ships as the host-packed RowPack (ONE array,
+        # ~2.2 GB/s less tunnel traffic than separate ELL arrays) and is
+        # cached device-side across solves via ``device_cache`` (an
+        # AuctionSolver-owned dict): re-solves with warm prices / repeated
+        # instances skip the multi-second H2D transfer entirely.
+        t0 = time.perf_counter()
+        t_dev0 = t0
+        trunc = jnp.int32(min(int(trunc), max(n // 8, 1)))
+        cache_key = (tr.sign, tr.scale, str(dtype))
+        if device_cache is not None and \
+                device_cache.get("key") == cache_key:
+            rowpack_dev = device_cache["rowpack"]
+            nvalid_dev = device_cache["nvalid"]
+        else:
+            vals_t_np = (vals_np *
+                         np.asarray(tr.sign * tr.scale, dtype)).astype(dtype)
+            rp = _compact_mod().np_build_rowpack(
+                np.asarray(prob.cols), vals_t_np, valid_np,
+                np.asarray(prob.nvalid))
+            rowpack_dev = jax.device_put(rp)
+            nvalid_dev = jax.device_put(np.asarray(prob.nvalid))
+            if device_cache is not None:
+                device_cache.update(key=cache_key, rowpack=rowpack_dev,
+                                    nvalid=nvalid_dev)
+        res, tier_rounds = _device_rowpack_solve(
+            rowpack_dev, nvalid_dev, jnp.asarray(prices), e0, e_min,
+            theta_v, max_iter, bigp, trunc)
+        return _finish_square_fast_path(
+            res, tier_rounds, prob, indptr, indices, data, prices, sigma,
+            owner, e_min, bigp, tr, n, mode, t0, t_dev0)
+    if use_device and n_dummy == 0:
+        # Non-default square engines (e.g. engine='candidates') keep the
+        # ELL-argument entry; they build their own packs in-jit.
         vals_t = tr.apply(prob.vals)
         t0 = time.perf_counter()
         t_dev0 = t0
@@ -223,45 +320,9 @@ def solve_hybrid(
             prob.cols, vals_t, prob.valid, prob.nvalid,
             jnp.asarray(prices), e0, e_min, theta_v, max_iter,
             bigp, trunc, engine=engine)
-        prices = np.array(res.prices)
-        sigma = np.array(res.sigma)
-        dev_rounds = int(res.rounds)
-        t_dev = time.perf_counter() - t_dev0
-        # owner is derivable from sigma for square problems (no dummies).
-        owner[:] = -1
-        assigned = sigma >= 0
-        owner[sigma[assigned]] = np.nonzero(assigned)[0].astype(np.int32)
-        t_gs0 = time.perf_counter()
-        bids = _gs(indptr, indices, data, prices, sigma, owner,
-                   e_min, bigp, 0, 100 * n + 10_000_000)
-        t_gs = time.perf_counter() - t_gs0
-        unassigned = int(((sigma < 0) & (np.diff(indptr) > 0)).sum())
-        # Honest optimality accounting: the eps_min-CS guarantee only holds
-        # if the device pass actually descended to eps_min (its final
-        # phase's violator scan re-auctions stale pairs).  If it exited on
-        # the round budget at eps > eps_min, the host GS still completes the
-        # assignment, but earlier-assigned pairs are only final_eps-CS.
-        dev_eps = float(np.asarray(res.final_eps))
-        # Compare in the DEVICE dtype: e_min is host float64 and the f32
-        # device eps may round a hair above it, which must not read as
-        # "never reached eps_min".
-        eps_reached = bool(np.asarray(res.final_eps)
-                           <= np.asarray(e_min, vals_np.dtype))
-        meta = {
-            "its": dev_rounds,
-            "host_bids": max(int(bids), 0),
-            "phases": int(res.phases),
-            "final_eps": (float(e_min) if eps_reached else dev_eps)
-            / tr.scale,
-            "unassigned": unassigned,
-            "soln_found": unassigned == 0 and bids >= 0 and eps_reached,
-            "time": time.perf_counter() - t0,
-            "device_time": t_dev,
-            "host_gs_time": t_gs,
-            "tier_rounds": np.asarray(tier_rounds).tolist(),
-            "mode": mode,
-        }
-        return sigma, prices, meta
+        return _finish_square_fast_path(
+            res, tier_rounds, prob, indptr, indices, data, prices, sigma,
+            owner, e_min, bigp, tr, n, mode, t0, t_dev0)
 
     if use_device:
         vals_t = tr.apply(prob.vals)

@@ -250,7 +250,8 @@ def auction_solve_overlapped(
     e0, e_min, theta_v = _auction.default_eps_schedule(
         vals_np.dtype, vmax_abs, prob.m, tr.scale,
         eps_min=eps_min, eps_start=eps_start,
-        theta=_auction.DEVICE_THETA if theta is None else theta)
+        theta=(_auction.device_theta_default(prob.n)
+               if theta is None else theta))
     if max_iter is None:
         max_iter = _auction.default_max_iter(prob.n)
 
