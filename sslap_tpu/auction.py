@@ -49,6 +49,15 @@ def neg_sentinel(dtype) -> jax.Array:
     return jnp.asarray(jnp.finfo(dtype).min / 4, dtype)
 
 
+def neg_sentinel_value(dtype):
+    """Python-scalar twin of neg_sentinel (for fill_value args, which must
+    be concrete)."""
+    dtype = jnp.dtype(dtype)
+    if jnp.issubdtype(dtype, jnp.integer):
+        return _INT_NEG
+    return float(jnp.finfo(dtype).min / 4)
+
+
 class AuctionState(NamedTuple):
     """Carried state of the scaled auction.  A tiny pytree -- snapshotting it
     (prices, sigma, owner, eps) is the checkpoint/warm-start payload
@@ -126,8 +135,9 @@ def resolve_bids(
     dtype = bid.dtype
     neg = neg_sentinel(dtype)
     best = jnp.full((m,), neg, dtype).at[tgt].max(bid, mode="drop")
-    best_ext = jnp.concatenate([best, jnp.asarray([neg], dtype)])
-    is_best = bid == best_ext[tgt]          # tgt == m gathers neg -> False
+    is_best = bid == best.at[tgt].get(
+        mode="fill",
+        fill_value=neg_sentinel_value(dtype))  # tgt == m -> neg -> False
     cand = jnp.where(is_best, row_ids, jnp.int32(_I32_MAX))
     winner = (
         jnp.full((m,), _I32_MAX, jnp.int32).at[tgt].min(cand, mode="drop")

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from sslap_tpu import auction as _auction
-from sslap_tpu.auction import neg_sentinel
+from sslap_tpu.auction import neg_sentinel, neg_sentinel_value
 
 _I32_MAX = 2 ** 31 - 1
 DEFAULT_KAPPA = 4
@@ -258,14 +258,13 @@ def candidate_round(
     else:
         best = jnp.full((m,), neg, dtype).at[all_tgt].max(all_bid,
                                                           mode="drop")
-        best_ext = jnp.concatenate([best, jnp.asarray([neg], dtype)])
-        is_best = all_bid == best_ext[all_tgt]
+        is_best = all_bid == best.at[all_tgt].get(
+            mode="fill", fill_value=neg_sentinel_value(dtype))
         cand = jnp.where(is_best, all_ids, jnp.int32(_I32_MAX))
         winner = (jnp.full((m,), _I32_MAX, jnp.int32)
                   .at[all_tgt].min(cand, mode="drop"))
-        winner_ext = jnp.concatenate(
-            [winner, jnp.asarray([_I32_MAX], jnp.int32)])
-        won = is_best & (winner_ext[all_tgt] == all_ids)
+        won = is_best & (winner.at[all_tgt].get(
+            mode="fill", fill_value=_I32_MAX) == all_ids)
 
     tgt_won = jnp.where(won, all_tgt, jnp.int32(m))
     prev_owner = jnp.where(won, owner.at[all_tgt].get(mode="clip"), -1)

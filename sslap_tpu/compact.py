@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from sslap_tpu import auction as _auction
-from sslap_tpu.auction import neg_sentinel
+from sslap_tpu.auction import neg_sentinel, neg_sentinel_value
 
 _I32_MAX = 2 ** 31 - 1
 
@@ -277,14 +277,16 @@ def compact_round(
     else:
         # Scatter resolve: per-column max bid, ties -> lowest row id.
         best = jnp.full((m,), neg, dtype).at[tgt].max(bid, mode="drop")
-        best_ext = jnp.concatenate([best, jnp.asarray([neg], dtype)])
-        is_best = bid == best_ext[tgt]                     # tgt=m -> False
+        # fill-mode gathers (tgt = m -> sentinel) instead of concatenating
+        # a sentinel slot onto [m]: the concat was an O(m) copy per round,
+        # ~2x per round at every scatter-resolve tier.
+        is_best = bid == best.at[tgt].get(
+            mode="fill", fill_value=neg_sentinel_value(dtype))
         cand = jnp.where(is_best, ids, jnp.int32(_I32_MAX))
         winner = (jnp.full((m,), _I32_MAX, jnp.int32)
                   .at[tgt].min(cand, mode="drop"))
-        winner_ext = jnp.concatenate(
-            [winner, jnp.asarray([_I32_MAX], jnp.int32)])
-        won = is_best & (winner_ext[tgt] == ids)
+        won = is_best & (winner.at[tgt].get(mode="fill",
+                                            fill_value=_I32_MAX) == ids)
 
     # Commit by scatter only (won columns are unique: one winner each).
     tgt_won = jnp.where(won, tgt, jnp.int32(m))
