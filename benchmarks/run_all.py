@@ -105,9 +105,11 @@ def config2(small=False):
 
 
 def config3(small=False):
-    """Batched independent LAPs (vmapped auction)."""
+    """Batched independent LAPs: dense-chunk device hybrid (round 2,
+    dense_batch.py) vs the serial native CPU engine on the same batch."""
     from sslap_tpu import ingest
     from sslap_tpu.batch import auction_solve_batched, stack_problems
+    from sslap_tpu.hybrid import native_available
     B = 8 if small else 256
     n = m = 256 if small else 4096
     density_nnz = 16 if small else 48
@@ -117,15 +119,38 @@ def config3(small=False):
         probs.append(ingest.from_coo(loc, val, shape=(n, m),
                                      pad_to=density_nnz + 4))
     batched = stack_problems(probs)
-    t0 = time.perf_counter()
-    sols, metas = auction_solve_batched(batched)   # includes compile
-    warm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sols, metas = auction_solve_batched(batched)
-    dt = time.perf_counter() - t0
-    found = sum(mt["soln_found"] for mt in metas)
-    return {"config": 3, "B": B, "n": n, "time": dt, "warm_time": warm,
-            "instances_per_s": B / dt, "all_found": found == B}
+    out = {"config": 3, "B": B, "n": n}
+    if native_available():
+        t0 = time.perf_counter()
+        sols_h, metas_h = auction_solve_batched(batched, mode="hybrid")
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sols_h, metas_h = auction_solve_batched(batched, mode="hybrid")
+        dt_h = time.perf_counter() - t0
+        out.update(hybrid_time=dt_h, hybrid_warm_time=warm,
+                   hybrid_instances_per_s=B / dt_h,
+                   hybrid_all_found=all(mt["soln_found"] for mt in metas_h),
+                   hybrid_device_s=metas_h[0]["device_time"],
+                   hybrid_gs_s=metas_h[0]["host_gs_time"])
+        t0 = time.perf_counter()
+        sols_c, metas_c = auction_solve_batched(batched, mode="cpu")
+        dt_c = time.perf_counter() - t0
+        out.update(cpu_time=dt_c, cpu_instances_per_s=B / dt_c,
+                   vs_cpu=dt_c / dt_h)
+        objs_h = [mt["obj"] for mt in metas_h]
+        objs_c = [mt["obj"] for mt in metas_c]
+        gaps = [abs(a - b) for a, b in zip(objs_h, objs_c)]
+        out["max_obj_gap"] = max(gaps)
+    else:
+        t0 = time.perf_counter()
+        sols, metas = auction_solve_batched(batched)   # includes compile
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sols, metas = auction_solve_batched(batched)
+        dt = time.perf_counter() - t0
+        out.update(time=dt, warm_time=warm, instances_per_s=B / dt,
+                   all_found=all(mt["soln_found"] for mt in metas))
+    return out
 
 
 def config4(small=False):
