@@ -255,7 +255,15 @@ def solve_hybrid(
     if max_iter is None:
         max_iter = _auction.default_max_iter(n)
 
-    indptr, indices, data = ell_to_csr_transformed(prob, tr.sign, tr.scale)
+    csr_key = ("csr", tr.sign, tr.scale)
+    if device_cache is not None and device_cache.get("csr_key") == csr_key:
+        indptr, indices, data = device_cache["csr"]
+    else:
+        indptr, indices, data = ell_to_csr_transformed(prob, tr.sign,
+                                                       tr.scale)
+        if device_cache is not None:
+            device_cache.update(csr_key=csr_key,
+                                csr=(indptr, indices, data))
     if valid_np.any():
         tmax, tmin = data.max(), data.min()
         bigp = (tmax - tmin) + (1 if np.issubdtype(dtype, np.integer) else 1.0)
