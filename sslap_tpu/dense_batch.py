@@ -209,33 +209,58 @@ def solve_batched_dense_hybrid(
     bigp = (float(tvals[valid_np].max() - tvals[valid_np].min()) + 1.0
             if valid_np.any() else 1.0)
 
+    # Batched host CSR in ONE pass over the whole batch (the per-instance
+    # mask-and-extract loop measured ~40 s at B=256, n=4096 -- more than
+    # the device pass itself).
+    cols_all = np.asarray(prob.cols)
+    vals_all = np.asarray(prob.vals)
+    nvalid_all = np.asarray(prob.nvalid)
+    counts = valid_np.sum(axis=2).astype(np.int64)          # [B, n]
+    indptr_all = np.zeros((B, n + 1), np.int64)
+    np.cumsum(counts, axis=1, out=indptr_all[:, 1:])
+    indices_flat = cols_all[valid_np].astype(np.int32)      # batch-major
+    data_flat = (vals_all[valid_np] *
+                 np.asarray(tr.sign * tr.scale, dtype)).astype(dtype)
+    inst_off = np.zeros(B + 1, np.int64)
+    np.cumsum(counts.sum(axis=1), out=inst_off[1:])
+
     sols = np.full((B, n), -1, np.int32)
     metas = []
     dev_s = 0.0
     gs_s = 0.0
+
+    def take(a, lo, hi):
+        """Slice [lo:hi], padding a short final chunk by repeating the
+        last instance so every chunk reuses ONE compiled shape (padded
+        lanes' results are discarded)."""
+        part = np.asarray(a[lo:hi])
+        if hi - lo < chunk:
+            reps = np.repeat(part[-1:], chunk - (hi - lo), axis=0)
+            part = np.concatenate([part, reps], axis=0)
+        return part
+
+    # Dispatch EVERY chunk up front: jax dispatch is async, so the device
+    # pipelines chunk k+1 while the host runs chunk k's GS tails.
+    td0 = time.perf_counter()
+    pending = []
     for lo in range(0, B, chunk):
         hi = min(lo + chunk, B)
+        outs = _solve_chunk_vmapped(
+            jnp.asarray(take(prob.cols, lo, hi)),
+            tr.apply(take(prob.vals, lo, hi)),
+            jnp.asarray(take(valid_np, lo, hi)),
+            jnp.asarray(take(nvalid_all, lo, hi)),
+            jnp.asarray(e0, dtype), jnp.asarray(e_min, dtype),
+            jnp.asarray(theta_v, dtype), jnp.int32(max_iter),
+            jnp.asarray(bigp, dtype), jnp.int32(trunc))
+        pending.append((lo, hi, outs))
+    dispatch_s = time.perf_counter() - td0
 
-        def take(a):
-            """Slice [lo:hi], padding a short final chunk by repeating the
-            last instance so every chunk reuses ONE compiled shape (padded
-            lanes' results are discarded)."""
-            part = np.asarray(a[lo:hi])
-            if hi - lo < chunk:
-                reps = np.repeat(part[-1:], chunk - (hi - lo), axis=0)
-                part = np.concatenate([part, reps], axis=0)
-            return part
-
-        vals_t = tr.apply(take(prob.vals))
+    e_min_h = np.asarray(e_min, dtype)
+    bigp_h = np.asarray(bigp, dtype)
+    for lo, hi, (prices_d, sigma_d, rounds_d, phases_d, _) in pending:
         td0 = time.perf_counter()
-        prices_d, sigma_d, rounds_d, phases_d, _ = _solve_chunk_vmapped(
-            jnp.asarray(take(prob.cols)), vals_t,
-            jnp.asarray(take(valid_np)),
-            jnp.asarray(take(prob.nvalid)),
-            jnp.asarray(e0, vals_t.dtype), jnp.asarray(e_min, vals_t.dtype),
-            jnp.asarray(theta_v, vals_t.dtype), jnp.int32(max_iter),
-            jnp.asarray(bigp, vals_t.dtype), jnp.int32(trunc))
-        prices_h = np.array(prices_d)
+        prices_h = np.array(prices_d)       # blocks on THIS chunk only
         sigma_h = np.array(sigma_d)
         rounds_h = np.array(rounds_d)
         phases_h = np.array(phases_d)
@@ -244,31 +269,23 @@ def solve_batched_dense_hybrid(
         tg0 = time.perf_counter()
         for b in range(lo, hi):
             i = b - lo
-            sub = ELLProblem(cols=np.asarray(prob.cols[b]),
-                             vals=np.asarray(prob.vals[b]),
-                             valid=valid_np[b],
-                             nvalid=np.asarray(prob.nvalid[b]),
-                             n=n, m=m, int_exact=prob.int_exact)
-            indptr, indices, data = _hybrid.ell_to_csr_transformed(
-                sub, tr.sign, tr.scale)
+            indptr = indptr_all[b]
+            sl = slice(inst_off[b], inst_off[b + 1])
             prices_b = prices_h[i].copy()
             sigma_b = sigma_h[i].copy()
             owner_b = np.full(m, -1, np.int32)
             assigned = sigma_b >= 0
             owner_b[sigma_b[assigned]] = \
                 np.nonzero(assigned)[0].astype(np.int32)
-            bids = _hybrid._gs(indptr, indices, data, prices_b, sigma_b,
-                               owner_b, e_min, np.asarray(bigp, data.dtype),
+            bids = _hybrid._gs(indptr, indices_flat[sl], data_flat[sl],
+                               prices_b, sigma_b, owner_b, e_min_h, bigp_h,
                                0, 100 * n + 1_000_000)
-            unassigned = int(((sigma_b < 0) &
-                              (np.diff(indptr) > 0)).sum())
-            n_empty = int((np.asarray(sub.nvalid) == 0).sum())
-            unassigned += n_empty
+            unassigned = int(((sigma_b < 0) & (counts[b] > 0)).sum())
+            unassigned += int((nvalid_all[b] == 0).sum())
             soln_found = unassigned == 0 and bids >= 0
-            from sslap_tpu.api import _objective_host
             sols[b] = sigma_b
             metas.append({
-                "obj": _objective_host(sub, sigma_b) if soln_found else None,
+                "obj": None,
                 "its": int(rounds_h[i]),
                 "phases": int(phases_h[i]),
                 "host_bids": max(int(bids), 0),
@@ -278,9 +295,17 @@ def solve_batched_dense_hybrid(
                 "mode": "dense-hybrid",
             })
         gs_s += time.perf_counter() - tg0
+
+    # Batched exact objectives (host, one vectorized pass).
+    hit = (cols_all == sols[:, :, None]) & valid_np          # [B, n, K]
+    acc = np.where(hit, vals_all, 0).astype(np.float64).sum(axis=(1, 2))
+    integral = np.issubdtype(vals_all.dtype, np.integer) or prob.int_exact
+    for b, mt in enumerate(metas):
+        if mt["soln_found"]:
+            mt["obj"] = int(round(acc[b])) if integral else float(acc[b])
     total = time.perf_counter() - t0
     for mt in metas:
         mt["time"] = total
-        mt["device_time"] = dev_s
+        mt["device_time"] = dev_s + dispatch_s
         mt["host_gs_time"] = gs_s
     return sols, metas
