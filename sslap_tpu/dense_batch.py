@@ -1,17 +1,21 @@
-"""Dense-chunk batched hybrid engine (T9 fast path; BASELINE config 3).
+"""Dense-chunk batched hybrid engine (T9 device path; BASELINE config 3).
 
-Why dense: the batched tracking/matching workload (256x independent 4k x 4k
-instances at ~1% density) is exactly the regime where this hardware's
-measured constants favor materializing w densely.  A full-width sparse bid
-round costs nnz scalar gathers (~7 ns each -> ~1.4 ms/instance at 196k
-nnz), while the dense round streams the [n, m] block through the VPU at
-memory speed (~64 MB -> ~80 us at the measured ~500 GB/s): ~19x cheaper
-despite touching 85x more elements, and it sidesteps the row-side
-segment-reduce join entirely (the per-row top-2 is a contiguous reduce).
-See PROBE_r2.json / PERF.md for the numbers; this trade only holds when an
-instance's dense row fits comfortably on chip (m <= ~16k), which is the
-batched config's domain -- the 1M-column single-instance path keeps the
-compacted ELL design (compact.py).
+Why dense: for batched small-m instances (256x independent 4k x 4k at ~1%
+density), a full-width sparse bid round costs nnz scalar gathers (~7 ns
+each -> ~1.4 ms/instance at 196k nnz), while the dense round streams the
+[n, m] block at memory speed (~80 us): ~19x cheaper despite touching 85x
+more elements, and it sidesteps the row-side segment-reduce join (the
+per-row top-2 is a contiguous reduce).  Only sensible when an instance's
+dense block fits on chip (m <= ~16k); the 1M-column single-instance path
+keeps the compacted ELL design (compact.py).
+
+Measured verdict on THIS environment (PERF.md "Round-2 config 3"): even
+so, the serial native CPU engine wins config 3 by ~9x -- at n = 4096 the
+price table is L1-resident and a CPU bid costs ~0.15 us, under the
+device's dense-stream floor.  `auto` therefore routes batches to the CPU
+when the toolchain exists; this engine is the accelerator-first fallback
+(no toolchain, busy host cores) and the shape to shard over a batch-axis
+mesh when more chips exist.
 
 Flow per chunk of instances (one jit execution, vmapped over the chunk):
   scatter ELL -> dense w-base once; then eps phases of full-width dense
