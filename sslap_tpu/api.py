@@ -189,14 +189,19 @@ class AuctionSolver:
             return "cpu"
         if self.mode != "auto":
             return self.mode
-        # Measured on this environment (1-vCPU host + tunneled v5e with
-        # ~15us/kernel launch latency and scalar-speed random gather): the
-        # native Gauss-Seidel wins single instances at every size tested
-        # (0.07-0.3 us/bid), so auto prefers it when the toolchain is
-        # present.  The device paths are for batched work, scale-out
-        # meshes, and hosts without a native toolchain; force them with
-        # mode='device' / 'hybrid'.
-        if _hybrid.native_available() and self.problem_spec.n >= 2_000:
+        # Measured routing (PERF.md round 2): the hybrid device path wins
+        # large square instances (1M x 1M: 6.9 s vs 9.4-12.2 s CPU), while
+        # the native serial GS wins small/mid sizes where the price table
+        # is cache-resident and the tunnel's fixed costs dominate (50k:
+        # 0.2 s vs 0.9 s).  Crossover bracketed between those endpoints;
+        # 500k is the conservative switch.  Hosts without a toolchain get
+        # the device path at every size (the numpy GS is ~30x slower).
+        prob = self.problem_spec
+        if not _hybrid.native_available():
+            return "device"
+        if prob.n == prob.m and prob.n >= 500_000:
+            return "hybrid"
+        if prob.n >= 2_000:
             return "cpu"
         return "device"
 
