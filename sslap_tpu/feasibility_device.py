@@ -37,19 +37,21 @@ from sslap_tpu.ingest import ELLProblem
 _I32_MAX = 2 ** 31 - 1
 
 
-def _match_round(cols, valid, match_row, match_col, ids):
+def _match_round(colpack, n, K, match_row, match_col, ids):
     """One propose/accept round over compacted free-row ids (pad = n).
 
-    Returns (match_row, match_col, new_ids) where new_ids keeps only rows
-    that proposed and lost (they may still win a different column later).
+    ``colpack`` is the line-packed column table (see build_colpack):
+    invalid slots carry the m sentinel, so validity is implicit.  Returns
+    (match_row, match_col, new_ids) where new_ids keeps only rows that
+    proposed and lost (they may still win a different column later).
     """
-    n, K = cols.shape
     m = match_col.shape[0]
     C = ids.shape[0]
     live = ids < n
-    colsC = cols.at[ids].get(mode="clip")                  # [C, K]
-    validC = valid.at[ids].get(mode="clip") & live[:, None]
-    colfree = match_col.at[colsC].get(mode="clip") < 0
+    colsC = _fetch_cols(colpack, ids, K)                   # [C, K]
+    validC = (colsC < m) & live[:, None]
+    # fill-mode: the m sentinel reads "occupied", never proposed to
+    colfree = match_col.at[colsC].get(mode="fill", fill_value=0) < 0
     cand = validC & colfree
     has = jnp.any(cand, axis=1)
     slot = jnp.argmax(cand, axis=1)        # first True = lowest column
@@ -81,13 +83,43 @@ def _tiers(n: int) -> Tuple[int, ...]:
     return tuple(tiers)
 
 
-def greedy_matching_ell(cols, valid, nvalid, m: int):
-    """Jitted greedy maximal matching over an ELL pattern.
+def build_colpack(cols: np.ndarray, valid: np.ndarray, m: int):
+    """Host-side line-packed column table for the greedy matcher: [n, K]
+    int32 with invalid slots = m, packed R = 128 // K rows per 128-lane
+    line (same trick as compact.RowPack).  The matcher only needs the
+    sparsity pattern, so this ships ~9x fewer bytes over the tunnel than
+    cols+valid+nvalid (measured: the 10M-row feasibility pre-pass was
+    transfer-bound at ~33 min with unpacked arrays).
+
+    Returns (data [L, R*K] int32 numpy, R)."""
+    n, K = cols.shape
+    base = np.where(valid, cols.astype(np.int32), np.int32(m))
+    R = max(128 // K, 1)
+    if R == 1:
+        return np.ascontiguousarray(base), 1
+    npad = ((n + R - 1) // R) * R
+    if npad != n:
+        base = np.pad(base, ((0, npad - n), (0, 0)), constant_values=m)
+    return np.ascontiguousarray(base.reshape(npad // R, R * K)), R
+
+
+def _fetch_cols(colpack, ids, K: int):
+    data, R = colpack
+    if R == 1:
+        return data.at[ids].get(mode="clip")
+    lines = data.at[ids // R].get(mode="clip")             # [C, R*K]
+    lines3 = lines.reshape(ids.shape[0], R, K)
+    oh = (ids % R)[:, None] == jnp.arange(R, dtype=jnp.int32)[None, :]
+    return jnp.sum(jnp.where(oh[:, :, None], lines3, 0), axis=1)
+
+
+def greedy_matching_packed(data, nvalid, m: int, n: int, K: int, R: int):
+    """Jitted greedy maximal matching over a packed column table.
 
     Returns (match_row [n] int32 col-or--1, match_col [m] int32 row-or--1).
     Pure function of the pattern; deterministic lowest-index tie-breaks.
     """
-    n, K = cols.shape
+    colpack = (data, R)
     match_row = jnp.full((n,), -1, jnp.int32)
     match_col = jnp.full((m,), -1, jnp.int32)
     all_rows = jnp.arange(n, dtype=jnp.int32)
@@ -104,7 +136,7 @@ def greedy_matching_ell(cols, valid, nvalid, m: int):
             return jnp.sum(ids < n) > floor
 
         def body(c):
-            return _match_round(cols, valid, *c)
+            return _match_round(colpack, n, K, *c)
 
         if C != tiers[0]:
             mr, mc, ids = carry
@@ -114,13 +146,15 @@ def greedy_matching_ell(cols, valid, nvalid, m: int):
     return match_row, match_col
 
 
-_greedy_jit = jax.jit(greedy_matching_ell, static_argnames=("m",))
+_greedy_jit = jax.jit(greedy_matching_packed,
+                      static_argnames=("m", "n", "K", "R"))
 
 
 def greedy_matching(prob: ELLProblem) -> Tuple[np.ndarray, np.ndarray]:
     """Host wrapper: device greedy maximal matching of ``prob``'s pattern."""
-    mr, mc = _greedy_jit(jnp.asarray(np.asarray(prob.cols)),
-                         jnp.asarray(np.asarray(prob.valid)),
+    data, R = build_colpack(np.asarray(prob.cols), np.asarray(prob.valid),
+                            prob.m)
+    mr, mc = _greedy_jit(jnp.asarray(data),
                          jnp.asarray(np.asarray(prob.nvalid)),
-                         m=prob.m)
+                         m=prob.m, n=prob.n, K=prob.K, R=R)
     return np.asarray(mr).astype(np.int64), np.asarray(mc).astype(np.int64)
