@@ -159,12 +159,16 @@ def hopcroft_karp(prob: ELLProblem, use_native: bool = True,
 
     ``device_seed``: run the TPU greedy maximal-matching bulk pass first
     (feasibility_device.py) and warm-start HK's augmentation from it --
-    the host then only augments the small residual deficit instead of
-    building the whole matching serially.  None = auto (instances large
-    enough that the host scan dominates the device pass's jit cost)."""
+    the host then only augments the residual deficit instead of building
+    the whole matching serially.  None = auto, which is currently HOST
+    (measured at 4M rows / 40M nnz: host-only 22.7 s vs device-seeded
+    50.3 s steady-state -- this environment's ~30 MB/s H2D tunnel and
+    ~55 ms/MB readback cost more than the serial greedy seed saves; the
+    device path stays available for deployments with real interconnects
+    or patterns already resident on device)."""
     indptr, indices = _ell_to_csr(prob)
     if device_seed is None:
-        device_seed = prob.n * prob.K >= 4_000_000
+        device_seed = False
     init = None
     if device_seed and prob.n > 0:
         try:
