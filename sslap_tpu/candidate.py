@@ -211,7 +211,7 @@ def candidate_round(
     n_resc = jnp.sum(rlive).astype(jnp.int32)
 
     def do_rescan(operands):
-        scpack, prices = operands
+        scpack, prices, owner, sigma = operands
         pkR = _compact.fetch_rows(rowpack, rids)    # [Cr, 2K+1] one gather
         colsR, valsR, nvR = _compact._unpack_rows(pkR, dtype)
         wR = valsR - prices[colsR]
@@ -220,20 +220,36 @@ def candidate_round(
         nvR = jnp.where(rlive, nvR, 0)
         v2 = jnp.where(nvR >= 2, v2, v1 - bigp)
         bid = a_star - v2 + eps
-        bidding = rlive & (nvR > 0)
+        if phase_start:
+            # Exact eps-CS violator scan fused into the full rescan (the
+            # full row is in hand, so cur and v1 are exact -- no
+            # over-unassignment): assigned violators free their column
+            # and re-bid in this same round.
+            sigR = jnp.where(rlive, sigma.at[rids].get(mode="clip"), -1)
+            real = wR > (neg // 2 if jnp.issubdtype(dtype, jnp.integer)
+                         else neg / 2)
+            hit = (colsR == sigR[:, None]) & real
+            cur = jnp.sum(jnp.where(hit, wR, jnp.zeros_like(wR)), axis=1)
+            viol = (sigR >= 0) & (cur < v1 - eps)
+            owner = owner.at[jnp.where(viol, sigR, m)].set(-1, mode="drop")
+            sigma = sigma.at[jnp.where(viol, rids, n)].set(-1, mode="drop")
+            unassignedR = jnp.where(viol, True, sigR < 0)
+            bidding = rlive & (nvR > 0) & unassignedR
+        else:
+            bidding = rlive & (nvR > 0)
         tgt = jnp.where(bidding, jstar, jnp.int32(m))
         upd = build_scpack(sc_c, sc_v, tau, nvR, kappa)
         scpack = scpack.at[jnp.where(rlive, rids, n)].set(upd, mode="drop")
-        return scpack, tgt, bid
+        return scpack, owner, sigma, tgt, bid
 
     def no_rescan(operands):
-        scpack, prices = operands
-        return (scpack,
+        scpack, prices, owner, sigma = operands
+        return (scpack, owner, sigma,
                 jnp.full((resc_cap,), m, jnp.int32),
                 jnp.zeros((resc_cap,), dtype))
 
-    scpack, tgt_r, bid_r = lax.cond(
-        n_resc > 0, do_rescan, no_rescan, (scpack, prices))
+    scpack, owner, sigma, tgt_r, bid_r = lax.cond(
+        n_resc > 0, do_rescan, no_rescan, (scpack, prices, owner, sigma))
 
     # ---- joint resolve over fast + rescan bids --------------------------
     all_ids = jnp.concatenate([ids, jnp.where(rlive, rids, jnp.int32(n))])
@@ -422,14 +438,20 @@ def solve_ell_candidates(
                 ids0, backlog0, st.eps, bigp, kappa=kappa, resc_cap=n)
             rescans = st.rescans + n_resc
         else:
-            # kappa-cheap phase start: violator scan + first bids fused.
-            ids0 = jnp.where((sigma < 0) & (nvalid > 0) | (sigma >= 0),
-                             all_rows, jnp.int32(n))
-            backlog0 = jnp.full((n,), n, jnp.int32)
+            # Phase start = full-width rescan: rebuild EVERY biddable
+            # row's shortlist + tau at the new prices and run the exact
+            # eps-CS violator scan in the same round.  (The kappa-cheap
+            # phase start was measured catastrophically slower at 1M:
+            # stale taus decertify en masse and flood the rescan backlog
+            # -- 180 full-width rounds/phase; PERF.md.)  Fresh taus make
+            # in-phase certification the common case, which is where the
+            # kappa-gather savings live.
+            ids0 = jnp.full((n,), n, jnp.int32)
+            backlog0 = jnp.where(nvalid > 0, all_rows, jnp.int32(n))
             (scpack, prices, owner, sigma, ids, backlog, n_won, n_evi,
              n_resc) = candidate_round(
                 rowpack, scpack, prices, owner, sigma,
-                ids0, backlog0, st.eps, bigp, kappa=kappa, resc_cap=32,
+                ids0, backlog0, st.eps, bigp, kappa=kappa, resc_cap=n,
                 phase_start=True)
             rescans = st.rescans + n_resc
         rounds = st.rounds + 1
