@@ -116,7 +116,10 @@ def main():
     # single-thread CPU reference.  The CPU number and the speed-of-light
     # fraction ride along in the same JSON line.
     nnz_per_s = nnz / hyb_t
-    stream_bound_nnz_s = 506e9 / 8.0   # measured 506 GB/s over 8 B/nnz ELL
+    # SoL denominator: v5e HBM spec 819 GB/s over 8 B/nnz ELL.  (Chained
+    # stream measurements bracket 0.5-1.4 TB/s depending on what XLA
+    # elides; the hardware spec is the defensible bound.)
+    stream_bound_nnz_s = 819e9 / 8.0
     log(f"best mode: {'cpu' if cpu_t <= hyb_t else 'hybrid'}")
     print(json.dumps({
         "metric": "time_to_optimal_1Mx1M_sparse_lap_nnz_per_s",

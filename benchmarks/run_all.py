@@ -197,27 +197,42 @@ def config5(small=False):
 
 
 def sol_calibration(small=False):
-    """Speed-of-light: stream the config-4 ELL layout once (cols+vals read,
-    row-max written) and report achieved bytes/s (BASELINE.md calibration)."""
+    """Speed-of-light: stream the config-4 ELL layout (cols+vals read,
+    row-max written) and report achieved bytes/s (BASELINE.md calibration).
+
+    Timing: chained-in-jit two-point fit -- ``block_until_ready`` does not
+    reliably block on this tunneled TPU (PERF.md round-2 methodology), so
+    R reps run inside ONE jit with a data dependency and the per-rep cost
+    is the slope between two rep counts."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
     n = 100_000 if small else 1_000_000
     K = 16
     rng = np.random.default_rng(0)
     cols = jnp.asarray(rng.integers(0, n, (n, K), dtype=np.int32))
     vals = jnp.asarray(rng.random((n, K), dtype=np.float32))
 
-    @jax.jit
-    def stream(cols, vals):
-        return jnp.max(vals, axis=1), jnp.max(cols, axis=1)
+    def timed(R):
+        @jax.jit
+        def run(cols, vals):
+            def body(i, c):
+                v, acc = c
+                a = jnp.max(v, axis=1)
+                b = jnp.max(cols, axis=1)
+                return v + a[:, None] * 1e-30, acc + a[0] + b[0]
+            _, acc = lax.fori_loop(0, R, body, (vals, jnp.float32(0)))
+            return acc
+        float(np.asarray(run(cols, vals)))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(np.asarray(run(cols, vals)))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    stream(cols, vals)[0].block_until_ready()
-    reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        a, b = stream(cols, vals)
-    a.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+    t_lo, t_hi = timed(40), timed(440)
+    dt = max((t_hi - t_lo) / 400, 1e-9)
     bytes_moved = n * K * 8  # cols i32 + vals f32 read
     return {"config": "sol", "bytes_per_s": bytes_moved / dt,
             "nnz_per_s_upper_bound": n * K / dt, "time": dt}

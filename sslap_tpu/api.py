@@ -201,9 +201,10 @@ class AuctionSolver:
             return "device"
         if prob.n == prob.m and prob.n >= 500_000:
             return "hybrid"
-        if prob.n >= 2_000:
-            return "cpu"
-        return "device"
+        # Below the hybrid crossover the native GS wins at EVERY size --
+        # at n=1000 it solves in ~3 ms where a device dispatch costs
+        # ~0.3 s through this tunnel (run_all config 1, round 2).
+        return "cpu"
 
     def _resolve_engine(self) -> str:
         if self.engine != "auto":
