@@ -188,11 +188,15 @@ def config5(small=False):
     warm = time.perf_counter() - t0
     t0 = time.perf_counter()
     res = auction_solve_sharded(loc=loc, val=val, shape=(n, m), mesh=mesh,
-                                cardinality_check=False)
+                                cardinality_check=False, instrument=True)
     dt = time.perf_counter() - t0
     return {"config": 5, "n": n, "devices": n_dev, "time": dt,
             "rounds": res["meta"]["its"],
             "soln_found": res["meta"]["soln_found"],
+            "round_s": res["meta"].get("round_s"),
+            "compute_s": res["meta"].get("compute_s"),
+            "comm_fraction": res["meta"].get("comm_fraction"),
+            "nnz_imbalance": res["meta"].get("nnz_imbalance"),
             "note": "single-host functional run; pod scaling needs >=2 hosts"}
 
 

@@ -129,10 +129,16 @@ def auction_solve_sharded(
     dtype=None,
     axis_name: str = "rows",
     partition: str = "rows",
+    instrument: bool = False,
 ):
     """Drop-in sharded variant of api.auction_solve: same inputs and result
     contract, with the solve row-partitioned over ``mesh`` (default: a 1-D
     mesh over all devices).
+
+    ``instrument=True`` additionally measures the per-round comm/compute
+    split on this mesh (parallel/scaling.py chained-timing harness) and
+    attaches it to the meta as ``round_s``/``compute_s``/``comm_s``/
+    ``comm_fraction`` -- the config-5 scaling-efficiency inputs.
 
     ``partition``: 'rows' (contiguous blocks, bit-identical to the
     unsharded solve) or 'nnz' (rows relabeled so shards carry near-equal
@@ -208,4 +214,9 @@ def auction_solve_sharded(
         "time": t1 - t0,
         "n_shards": int(mesh.shape[axis_name]),
     }
+    if instrument:
+        from sslap_tpu.parallel.scaling import measure_round_breakdown
+        meta.update(measure_round_breakdown(
+            prob, mesh, problem=problem, axis_name=axis_name,
+            partition=partition))
     return _api.AuctionSolution(sol=sol, meta=meta)
