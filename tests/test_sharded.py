@@ -33,7 +33,7 @@ def test_virtual_mesh_available():
 def test_sharded_matches_unsharded_dense(n, m):
     rng = np.random.default_rng(0)
     C = rng.integers(0, 100, (n, m))
-    single = auction_solve(C)
+    single = auction_solve(C, mode="device")
     sharded = auction_solve_sharded(C, mesh=_mesh())
     assert sharded["meta"]["obj"] == single["meta"]["obj"]
     # identical tie-break rules across paths => identical assignments
@@ -44,7 +44,8 @@ def test_sharded_sparse_vs_oracle():
     rng = np.random.default_rng(1)
     n, m = 96, 96
     loc, val, _ = random_sparse_instance(rng, n, m, 0.08)
-    single = auction_solve(loc=loc, val=val, shape=(n, m))
+    single = auction_solve(loc=loc, val=val, shape=(n, m),
+                           mode="device")
     sharded = auction_solve_sharded(loc=loc, val=val, shape=(n, m),
                                     mesh=_mesh())
     assert sharded["meta"]["obj"] == single["meta"]["obj"]
@@ -54,7 +55,7 @@ def test_sharded_sparse_vs_oracle():
 def test_sharded_mesh_size_1_equals_single():
     rng = np.random.default_rng(2)
     C = rng.integers(0, 100, (32, 32))
-    single = auction_solve(C)
+    single = auction_solve(C, mode="device")
     sharded = auction_solve_sharded(C, mesh=_mesh(1))
     np.testing.assert_array_equal(sharded["sol"], single["sol"])
 
