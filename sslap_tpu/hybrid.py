@@ -389,7 +389,11 @@ def solve_hybrid(
     if n_dummy > 0:
         unassigned += n_dummy - int((owner == -2).sum())
     meta = {
-        "its": total_rounds,
+        # 'its' = iteration count in the reference's sense: device Jacobi
+        # rounds when the device participated, else the GS engine's bids
+        # (the pure-CPU path has no rounds; its=0 would misread as "no
+        # work").
+        "its": total_rounds if use_device else total_bids,
         "host_bids": total_bids,
         "phases": phases,
         "final_eps": float(eps) / tr.scale,
