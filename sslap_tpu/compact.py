@@ -19,12 +19,13 @@ buffer of *static tier capacity* C, and run rounds whose cost is O(C):
            -- both <= C, merged and re-sorted in compact space; the active
            set never grows within a phase, so tiers only step *down*.
 
-Tiers (C = n -> 262144 -> ... -> 64, see default_tiers) are separate
-while_loops inside one jit, so the whole eps-scaled solve is a single
-device execution with zero host round-trips (this environment's TPU
-tunnel costs ~32 ms per sync).  Narrow tiers (C <= 4096) resolve
-conflicts with an all-pairs O(C^2) comparison instead of [m]-sized
-scatter temporaries.
+Tiers (C = n, then descending powers of two -- see default_tiers for the
+x2-spacing rationale) are separate while_loops inside one jit, so the
+whole eps-scaled solve is a single device execution with zero host
+round-trips (this environment's TPU tunnel costs ~32 ms per sync).
+Narrow tiers (C <= 8192) resolve conflicts with an all-pairs O(C^2)
+comparison instead of [m]-sized scatter temporaries.  Per-row data lives
+in the line-packed RowPack (one slice gather per active row per round).
 
 Each eps phase opens with one full-width round that doubles as the
 eps-CS violator scan (warm-started scaling, auction.py:unassign_violators
