@@ -295,7 +295,12 @@ def solve_hybrid(
         t0 = time.perf_counter()
         t_dev0 = t0
         trunc = jnp.int32(min(int(trunc), max(n // 8, 1)))
-        cache_key = (tr.sign, tr.scale, str(dtype))
+        # The cache dict is owned by ONE AuctionSolver bound to one
+        # problem; shape/transform fields in the key catch accidental
+        # reuse across differently-shaped problems (same-shape different
+        # data is the caller's contract to avoid).
+        cache_key = (tr.sign, tr.scale, str(dtype), n, m, prob.K,
+                     prob.nnz)
         if device_cache is not None and \
                 device_cache.get("key") == cache_key:
             rowpack_dev = device_cache["rowpack"]
