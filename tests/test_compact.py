@@ -195,3 +195,29 @@ def test_solve_rowpack_tiered_equals_solve_ell_tiered():
         jnp.zeros((n,), vt.dtype))
     np.testing.assert_array_equal(np.asarray(res_a.sigma),
                                   np.asarray(res_b.sigma))
+
+
+def test_rowpack_extreme_K_edges():
+    """K=1 (W=3, R=42) and K=63 (W=127, R=1) pack/solve correctly."""
+    from scipy.optimize import linear_sum_assignment as lsa
+    rng = np.random.default_rng(43)
+    # K=1: a permutation matrix pattern (each row one entry)
+    n = 50
+    perm = rng.permutation(n)
+    loc = np.stack([np.arange(n), perm], 1)
+    val = rng.integers(1, 100, n)
+    prob = I.from_coo(loc, val, shape=(n, n))
+    assert prob.K == 1
+    from sslap_tpu import auction_solve
+    res = auction_solve(loc=loc, val=val, shape=(n, n), mode="device")
+    assert res["meta"]["soln_found"]
+    np.testing.assert_array_equal(res["sol"], perm)
+    # wide rows: K up to 63 still packs (R=1 plain fallback above W=64)
+    n = 40
+    mask = rng.random((n, n)) < 0.9
+    mask[np.arange(n), rng.permutation(n)] = True
+    M = np.where(mask, rng.integers(1, 100, (n, n)), -1).astype(float)
+    prob2 = I.from_dense(M)
+    res2 = auction_solve(M, mode="device")
+    r, c = lsa(np.where(mask, M, 1e18))
+    assert res2["meta"]["obj"] == int(M[r, c].sum())
