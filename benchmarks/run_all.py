@@ -230,11 +230,18 @@ def sol_calibration(small=False):
         @jax.jit
         def run(cols, vals):
             def body(i, c):
-                v, acc = c
+                # Both arrays are carried and mutated with a data-dependent
+                # delta so neither read can be hoisted/CSE'd out of the rep
+                # loop (a loop-invariant cols read halves the bytes actually
+                # streamed and inflates the reported bound).
+                v, cl, acc = c
                 a = jnp.max(v, axis=1)
-                b = jnp.max(cols, axis=1)
-                return v + a[:, None] * 1e-30, acc + a[0] + b[0]
-            _, acc = lax.fori_loop(0, R, body, (vals, jnp.float32(0)))
+                b = jnp.max(cl, axis=1)
+                v = v + a[:, None] * 1e-30
+                cl = cl + (b[:, None] & 1)
+                return v, cl, acc + a[0] + b[0].astype(jnp.float32)
+            _, _, acc = lax.fori_loop(0, R, body,
+                                      (vals, cols, jnp.float32(0)))
             return acc
         float(np.asarray(run(cols, vals)))
         best = float("inf")
@@ -246,7 +253,8 @@ def sol_calibration(small=False):
 
     t_lo, t_hi = timed(40), timed(440)
     dt = max((t_hi - t_lo) / 400, 1e-9)
-    bytes_moved = n * K * 8  # cols i32 + vals f32 read
+    # per rep: read + write of both arrays (the writes keep the reads live)
+    bytes_moved = n * K * 16
     return {"config": "sol", "bytes_per_s": bytes_moved / dt,
             "nnz_per_s_upper_bound": n * K / dt, "time": dt}
 

@@ -182,7 +182,7 @@ class AuctionSolver:
             # float64 rides the host CPU path only: TPUs have no fast f64
             # and JAX disables x64 by default.  Without a toolchain the
             # pure-numpy engine (gs_host.py) serves it, slower but exact.
-            if self.mode in ("device", "hybrid"):
+            if self.mode in ("device", "hybrid", "sharded", "overlapped"):
                 raise ValueError(
                     "float64 costs are solved on the native CPU path; use "
                     "mode='cpu' or 'auto'")
@@ -239,8 +239,8 @@ class AuctionSolver:
                      problem=self.problem,
                      eps_start=self.eps_start, eps_min=self.eps_min,
                      theta=self.theta, max_iter=self.max_iter,
-                     cardinality_check=False)
-            self.prices = None
+                     cardinality_check=False, warm_prices=warm_prices)
+            self.prices = res.get("prices")
             self.meta = res["meta"]
             return res
         if mode in ("hybrid", "cpu"):

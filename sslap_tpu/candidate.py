@@ -117,9 +117,15 @@ def _fast_bids(scpack_rows, prices, sigma_rows, live, eps, bigp, kappa: int,
     real = sc_vals > (neg // 2 if jnp.issubdtype(dtype, jnp.integer)
                       else neg / 2)
     w = jnp.where(real, sc_vals - p_sc, neg)
-    slot = jnp.argmax(w, axis=1)
-    onehot = jnp.arange(w.shape[1], dtype=jnp.int32)[None, :] == slot[:, None]
     v1 = jnp.max(w, axis=1)
+    # Tie-break among w maxima by the LOWEST column index (shortlist slots
+    # are ordered by build-time w, not column, so a plain argmax would
+    # resolve ties in slot order and diverge from the compact engine's
+    # documented contract).
+    is_max = w == v1[:, None]
+    colkey = jnp.where(is_max, sc_cols, jnp.int32(_I32_MAX))
+    slot = jnp.argmin(colkey, axis=1)
+    onehot = jnp.arange(w.shape[1], dtype=jnp.int32)[None, :] == slot[:, None]
     v2 = jnp.max(jnp.where(onehot, neg, w), axis=1)
     has2 = jnp.sum(real, axis=1) >= 2
     v2 = jnp.where(has2, v2, v1 - bigp)

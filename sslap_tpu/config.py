@@ -35,6 +35,7 @@ class AuctionConfig:
     max_iter: Optional[int] = None       # round cap (safety valve)
     cardinality_check: bool = True       # Hopcroft-Karp pre-check
     mode: str = "auto"                   # 'auto'|'device'|'hybrid'|'cpu'
+                                         # |'sharded'|'overlapped'
     keep_assignment: bool = True         # warm-started eps phases
     dtype: Optional[object] = None       # force device dtype
     engine: str = "auto"                 # square device engine:
@@ -46,7 +47,8 @@ class AuctionConfig:
                 f"problem must be 'min' or 'max', got {self.problem!r}")
         if self.theta is not None and self.theta <= 1:
             raise ValueError("theta must be > 1")
-        if self.mode not in ("auto", "device", "hybrid", "cpu"):
+        if self.mode not in ("auto", "device", "hybrid", "cpu",
+                             "sharded", "overlapped"):
             raise ValueError(f"unknown mode {self.mode!r}")
         if self.engine not in ("auto", "compact", "candidates"):
             raise ValueError(f"unknown engine {self.engine!r}")

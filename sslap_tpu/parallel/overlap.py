@@ -223,9 +223,17 @@ def auction_solve_overlapped(
     cardinality_check: bool = True,
     dtype=None,
     axis_name: str = "rows",
+    instrument: bool = False,
+    warm_prices=None,
 ):
     """auction_solve with the overlapped row-sharded backend.  Same result
-    contract as api.auction_solve; square problems only."""
+    contract as api.auction_solve; square problems only.
+
+    ``instrument=True`` measures the per-round comm/compute split of the
+    OVERLAPPED round body on this mesh (parallel/scaling.py harness with
+    overlap=True: the collective combines the previous round's pending
+    bids while the current round's bid compute runs) and attaches
+    ``round_s``/``compute_s``/``comm_s``/``comm_fraction`` to the meta."""
     from sslap_tpu import api as _api
     from sslap_tpu import feasibility as _feas
     from sslap_tpu.parallel.mesh import make_mesh
@@ -265,7 +273,8 @@ def auction_solve_overlapped(
     prob_p = pad_rows_for_mesh(prob, mesh.shape[axis_name])
     vals_t = np.asarray(prob_p.vals) * np.asarray(
         tr.sign * tr.scale, vals_np.dtype)
-    p0 = jnp.zeros((prob.m,), vals_np.dtype)
+    p0 = (jnp.zeros((prob.m,), vals_np.dtype) if warm_prices is None
+          else jnp.asarray(np.asarray(warm_prices), vals_np.dtype))
 
     res = solve_ell_overlapped(
         jnp.asarray(prob_p.cols), jnp.asarray(vals_t),
@@ -287,4 +296,10 @@ def auction_solve_overlapped(
         "n_shards": int(mesh.shape[axis_name]),
         "overlap": True,
     }
-    return _api.AuctionSolution(sol=sol, meta=meta)
+    if instrument:
+        from sslap_tpu.parallel.scaling import measure_round_breakdown
+        meta.update(measure_round_breakdown(
+            prob, mesh, problem=problem, axis_name=axis_name,
+            overlap=True))
+    return _api.AuctionSolution(sol=sol, meta=meta,
+                                prices=np.asarray(res.prices))

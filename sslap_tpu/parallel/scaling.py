@@ -35,7 +35,8 @@ from sslap_tpu.parallel.sharded import make_pmax_combine
 
 
 def _timed_rounds(prob: ELLProblem, vals_t, mesh: Mesh, eps, bigp,
-                  axis_name: str, with_comm: bool, reps: int) -> float:
+                  axis_name: str, with_comm: bool, reps: int,
+                  overlap: bool = False) -> float:
     n_shards = mesh.shape[axis_name]
     n_pad = prob.n
     n_local = n_pad // n_shards
@@ -48,16 +49,52 @@ def _timed_rounds(prob: ELLProblem, vals_t, mesh: Mesh, eps, bigp,
         prices = jnp.zeros((m,), vals.dtype)
         owner = jnp.full((m,), -1, jnp.int32)
         sigma = jnp.full((n_local,), -1, jnp.int32)
+        eps_ = jnp.asarray(eps, vals.dtype)
+        bigp_ = jnp.asarray(bigp, vals.dtype)
+        row_ids = jnp.int32(row_offset) + jnp.arange(n_local, dtype=jnp.int32)
 
-        def body(i, st):
-            prices, owner, sigma = st
-            return _auction.jacobi_round(
-                cols, vals, valid, nvalid, prices, owner, sigma,
-                jnp.asarray(eps, vals.dtype), jnp.asarray(bigp, vals.dtype),
-                row_offset=row_offset, combine=combine)
+        if overlap:
+            # The overlapped round body (parallel/overlap.py): bid against
+            # entry prices, combine the PREVIOUS round's pending bids, then
+            # commit with acceptance guards.  The collective is independent
+            # of this round's bid compute, so with_comm measures how much of
+            # it XLA actually hides behind the arithmetic.
+            neg = _auction.neg_sentinel(vals.dtype)
 
-        prices, owner, sigma = lax.fori_loop(
-            0, reps, body, (prices, owner, sigma))
+            def body(i, st):
+                prices, owner, sigma, pb, pw = st
+                tgt, bid = _auction.compute_bids(
+                    cols, vals, valid, nvalid, prices, sigma, eps_, bigp_)
+                best_l, winner_l = _auction.resolve_bids(tgt, bid, m, row_ids)
+                if with_comm:
+                    best_g = lax.pmax(pb, axis_name)
+                    cand = jnp.where(pb == best_g, pw,
+                                     jnp.int32(2 ** 31 - 1))
+                    winner_g = lax.pmin(cand, axis_name)
+                else:
+                    best_g, winner_g = pb, pw
+                accept = (winner_g != 2 ** 31 - 1) & (best_g >= prices + eps_)
+                prices = jnp.where(accept, best_g, prices)
+                owner = jnp.where(accept, winner_g, owner)
+                loc = winner_g - jnp.int32(row_offset)
+                ok = accept & (loc >= 0) & (loc < n_local)
+                sigma = sigma.at[jnp.where(ok, loc, jnp.int32(n_local))].set(
+                    jnp.arange(m, dtype=jnp.int32), mode="drop")
+                return prices, owner, sigma, best_l, winner_l
+
+            st0 = (prices, owner, sigma,
+                   jnp.full((m,), neg, vals.dtype),
+                   jnp.full((m,), 2 ** 31 - 1, jnp.int32))
+            prices, owner, sigma, _, _ = lax.fori_loop(0, reps, body, st0)
+        else:
+            def body(i, st):
+                prices, owner, sigma = st
+                return _auction.jacobi_round(
+                    cols, vals, valid, nvalid, prices, owner, sigma,
+                    eps_, bigp_, row_offset=row_offset, combine=combine)
+
+            prices, owner, sigma = lax.fori_loop(
+                0, reps, body, (prices, owner, sigma))
         out = jnp.sum(prices.ravel()[:4]).astype(jnp.float32)
         return lax.psum(out, axis_name) if with_comm else out
 
@@ -87,6 +124,7 @@ def measure_round_breakdown(
     r1: int = 4,
     r2: int = 12,
     partition: str = "rows",
+    overlap: bool = False,
 ) -> dict:
     """Per-round comm vs compute of the sharded Jacobi round on ``mesh``.
 
@@ -111,9 +149,9 @@ def measure_round_breakdown(
     out = {}
     for name, with_comm in (("round_s", True), ("compute_s", False)):
         t_r1 = _timed_rounds(part, vals_t, mesh, eps, bigp, axis_name,
-                             with_comm, r1)
+                             with_comm, r1, overlap=overlap)
         t_r2 = _timed_rounds(part, vals_t, mesh, eps, bigp, axis_name,
-                             with_comm, r2)
+                             with_comm, r2, overlap=overlap)
         out[name] = max((t_r2 - t_r1) / (r2 - r1), 1e-9)
     out["comm_s"] = max(out["round_s"] - out["compute_s"], 0.0)
     out["comm_fraction"] = out["comm_s"] / out["round_s"]

@@ -130,6 +130,7 @@ def auction_solve_sharded(
     axis_name: str = "rows",
     partition: str = "rows",
     instrument: bool = False,
+    warm_prices=None,
 ):
     """Drop-in sharded variant of api.auction_solve: same inputs and result
     contract, with the solve row-partitioned over ``mesh`` (default: a 1-D
@@ -186,7 +187,10 @@ def auction_solve_sharded(
     prob_p, row_order = partition_rows(prob, mesh.shape[axis_name],
                                        by=partition)
     vals_t = tr.apply(prob_p.vals)
-    p0 = jnp.zeros((prob.m,), vals_t.dtype)
+    # Warm-start parity with the single-device modes: prices are replicated
+    # state, so a previous solve's prices seed every shard identically.
+    p0 = (jnp.zeros((prob.m,), vals_t.dtype) if warm_prices is None
+          else jnp.asarray(np.asarray(warm_prices), vals_t.dtype))
 
     # With relabeled rows every row is "real" from the solver's view (the
     # padding rows are interleaved but have nvalid == 0 and never bid);
@@ -219,4 +223,5 @@ def auction_solve_sharded(
         meta.update(measure_round_breakdown(
             prob, mesh, problem=problem, axis_name=axis_name,
             partition=partition))
-    return _api.AuctionSolution(sol=sol, meta=meta)
+    return _api.AuctionSolution(sol=sol, meta=meta,
+                                prices=np.asarray(res.prices))
