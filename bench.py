@@ -88,29 +88,44 @@ def main():
     loc = np.stack([rr, cc], 1)
     log(f"instance: {n}x{n}, nnz={nnz} ({nnz/n:.2f}/row)")
 
-    from sslap_tpu import auction_solve
+    from sslap_tpu import AuctionSolver
     from sslap_tpu.hybrid import native_available
 
-    # CPU reference first (sslap-class Gauss-Seidel, single thread).
-    t0 = time.perf_counter()
-    res_cpu = auction_solve(loc=loc, val=vv, shape=(n, n), mode="cpu",
-                            cardinality_check=False)
-    cpu_t = time.perf_counter() - t0
-    log(f"cpu (sslap-class GS): {cpu_t:.2f}s bids={res_cpu['meta']['host_bids']} "
+    # CPU reference (sslap-class Gauss-Seidel, single thread), measured
+    # under the SAME construct-once serving pattern as the hybrid (VERDICT
+    # round-2 weak item 1: steady-state vs steady-state).  The 1-vCPU host
+    # varies up to 6x run-to-run (steal time), so >= 3 steady-state reps
+    # feed a median + band instead of a single draw.
+    solver_cpu = AuctionSolver(loc=loc, val=vv, shape=(n, n), mode="cpu",
+                               cardinality_check=False)
+    res_cpu = solver_cpu.solve()                 # warm: ingest + CSR cached
+    cpu_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res_cpu = solver_cpu.solve()
+        cpu_times.append(time.perf_counter() - t0)
+    cpu_t = float(np.median(cpu_times))
+    log(f"cpu (sslap-class GS, steady-state x{len(cpu_times)}): "
+        f"median {cpu_t:.2f}s band [{min(cpu_times):.2f}, "
+        f"{max(cpu_times):.2f}]s bids={res_cpu['meta']['host_bids']} "
         f"obj={res_cpu['meta']['obj']:.1f}")
 
     # Hybrid TPU path: construct-once solver (ingest + device transfer paid
     # once -- the production serving pattern), warm the compile, then time
-    # a steady-state solve.
-    from sslap_tpu import AuctionSolver
+    # steady-state solves.
     solver = AuctionSolver(loc=loc, val=vv, shape=(n, n), mode="hybrid",
                            cardinality_check=False)
     res_h = solver.solve()                       # compile + transfer warmup
-    t0 = time.perf_counter()
-    res_h = solver.solve()
-    hyb_t = time.perf_counter() - t0
+    hyb_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res_h = solver.solve()
+        hyb_times.append(time.perf_counter() - t0)
+    hyb_t = float(np.median(hyb_times))
     meta = res_h["meta"]
-    log(f"hybrid: {hyb_t:.2f}s device_rounds={meta['its']} "
+    log(f"hybrid (steady-state x{len(hyb_times)}): median {hyb_t:.2f}s "
+        f"band [{min(hyb_times):.2f}, {max(hyb_times):.2f}]s "
+        f"device_rounds={meta['its']} "
         f"host_bids={meta['host_bids']} obj={meta['obj']:.1f} "
         f"device_t={meta.get('device_time', 0):.2f}s "
         f"host_gs_t={meta.get('host_gs_time', 0):.2f}s")
@@ -122,11 +137,30 @@ def main():
         res_cpu["meta"]["obj"])
     log(f"objective agreement cpu vs hybrid: rel gap {rel_gap:.2e}")
 
-    # Honest headline (VERDICT.md round 1): the reported value is the TPU
-    # (hybrid) path's end-to-end nnz/s, and vs_baseline = cpu_t / hyb_t --
+    # Device-pass achieved bandwidth (VERDICT round-2 weak item 2): the
+    # per-chip-efficiency number the >= 70%-of-SoL north star is about.
+    # Bytes the device pass actually streams = sum over tiers of
+    # rounds x capacity x (packed line W*4 + K price gathers * 4); the
+    # phase-start tier's capacity is n.
+    device_s = meta.get("device_time", 0.0)
+    achieved_gbps = None
+    if "tier_rounds" in meta and device_s > 0:
+        from sslap_tpu.compact import default_tiers
+        K = solver.problem_spec.K
+        W = 2 * K + 1
+        caps = [n] + list(default_tiers(n))
+        tr = meta["tier_rounds"]
+        dev_bytes = sum(r * c * (W + K) * 4 for r, c in zip(tr, caps))
+        achieved_gbps = dev_bytes / device_s / 1e9
+        log(f"device pass: {dev_bytes/1e9:.2f} GB streamed in "
+            f"{device_s:.2f}s -> {achieved_gbps:.1f} GB/s achieved "
+            f"({achieved_gbps/819*100:.1f}% of v5e HBM spec)")
+
+    # Honest headline (VERDICT.md rounds 1-2): the reported value is the
+    # TPU (hybrid) path's end-to-end nnz/s; vs_baseline = median CPU /
+    # median hybrid with the band from the CPU and hybrid rep spreads --
     # it goes BELOW 1.0 when the device path loses to the sslap-class
-    # single-thread CPU reference.  The CPU number and the speed-of-light
-    # fraction ride along in the same JSON line.
+    # single-thread CPU reference.
     nnz_per_s = nnz / hyb_t
     # SoL denominator: v5e HBM spec 819 GB/s over 8 B/nnz ELL.  (Chained
     # stream measurements bracket 0.5-1.4 TB/s depending on what XLA
@@ -138,9 +172,17 @@ def main():
         "value": round(nnz_per_s, 1),
         "unit": "nnz/s",
         "vs_baseline": round(cpu_t / hyb_t, 3),
+        "vs_baseline_band": [round(min(cpu_times) / max(hyb_times), 3),
+                             round(max(cpu_times) / min(hyb_times), 3)],
+        "cpu_steady_s": round(cpu_t, 2),
+        "cpu_steady_band": [round(min(cpu_times), 2),
+                            round(max(cpu_times), 2)],
+        "hyb_steady_s": round(hyb_t, 2),
         "cpu_nnz_per_s": round(nnz / cpu_t, 1),
-        "device_s": round(meta.get("device_time", 0.0), 2),
+        "device_s": round(device_s, 2),
         "host_gs_s": round(meta.get("host_gs_time", 0.0), 2),
+        "device_achieved_gbps": (round(achieved_gbps, 2)
+                                 if achieved_gbps else None),
         "sol_fraction": round(nnz_per_s / stream_bound_nnz_s, 6),
     }))
 

@@ -177,36 +177,41 @@ def config4(small=False):
 
 
 def config5(small=False):
-    """Row-partitioned multi-device solve.  On this single-chip env it runs
-    the sharded path on the available mesh (functional + relative scaling
-    only); on a pod it measures true multi-host scaling."""
+    """Row-partitioned multi-device solve on the SHARDED HYBRID path
+    (round 3, parallel/sharded_compact.py): per-shard RowPack tiered
+    compaction, compact active-set exchanges in narrow tiers (collective
+    bytes ~ 3*4*D*C per round, not O(m)), truncated phases, one host GS
+    tail.  Unlike the round-2 full-width sharded round (prohibitive for
+    one device past ~100k rows), this design is runnable at config-5
+    scale: per-round cost tracks the active set on both the compute and
+    the wire."""
     import jax
-    from sslap_tpu.parallel import auction_solve_sharded, make_mesh
-    # Functional sizes: the sharded round is full-width (no compaction), so
-    # a single-device run grinds serial chains at O(n*K) per round -- fine
-    # across a real mesh where each shard holds n/D rows, prohibitive for
-    # one device at 200k (and this environment's TPU worker dies under
-    # multi-minute executions).  Pod-scale numbers require >= 2 hosts.
-    n = m = 2_000 if small else 8_000
+    from sslap_tpu.parallel import (auction_solve_sharded_hybrid,
+                                    make_mesh, measure_round_breakdown)
+    n = m = 20_000 if small else 200_000
     loc, val = make_sparse(n, m, 10, seed=5)
     n_dev = len(jax.devices())
     mesh = make_mesh()
     t0 = time.perf_counter()
-    res = auction_solve_sharded(loc=loc, val=val, shape=(n, m), mesh=mesh,
-                                cardinality_check=False)
+    res = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, m),
+                                       mesh=mesh, cardinality_check=False)
     warm = time.perf_counter() - t0
     t0 = time.perf_counter()
-    res = auction_solve_sharded(loc=loc, val=val, shape=(n, m), mesh=mesh,
-                                cardinality_check=False, instrument=True)
+    res = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, m),
+                                       mesh=mesh, cardinality_check=False)
     dt = time.perf_counter() - t0
+    meta = res["meta"]
     return {"config": 5, "n": n, "devices": n_dev, "time": dt,
-            "rounds": res["meta"]["its"],
-            "soln_found": res["meta"]["soln_found"],
-            "round_s": res["meta"].get("round_s"),
-            "compute_s": res["meta"].get("compute_s"),
-            "comm_fraction": res["meta"].get("comm_fraction"),
-            "nnz_imbalance": res["meta"].get("nnz_imbalance"),
-            "note": "single-host functional run; pod scaling needs >=2 hosts"}
+            "warm_time": warm,
+            "rounds": meta["its"],
+            "host_bids": meta["host_bids"],
+            "soln_found": meta["soln_found"],
+            "tier_rounds": meta["tier_rounds"],
+            "comm_bytes_total": meta["comm_bytes_total"],
+            "comm_bytes_fullwidth_equiv": meta["comm_bytes_fullwidth_equiv"],
+            "comm_bytes_by_tier": meta["comm_bytes_by_tier"],
+            "note": "sharded hybrid (compact exchanges + GS tail); "
+                    "pod scaling numbers need >=2 hosts"}
 
 
 def sol_calibration(small=False):

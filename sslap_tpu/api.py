@@ -139,7 +139,7 @@ class AuctionSolver:
         self.max_iter = max_iter
         self.cardinality_check = cardinality_check
         if mode not in ("auto", "device", "hybrid", "cpu", "sharded",
-                        "overlapped"):
+                        "overlapped", "sharded_hybrid"):
             raise ValueError(f"unknown mode {mode!r}")
         self.mode = mode
         self.keep_assignment = keep_assignment
@@ -182,7 +182,8 @@ class AuctionSolver:
             # float64 rides the host CPU path only: TPUs have no fast f64
             # and JAX disables x64 by default.  Without a toolchain the
             # pure-numpy engine (gs_host.py) serves it, slower but exact.
-            if self.mode in ("device", "hybrid", "sharded", "overlapped"):
+            if self.mode in ("device", "hybrid", "sharded", "overlapped",
+                             "sharded_hybrid"):
                 raise ValueError(
                     "float64 costs are solved on the native CPU path; use "
                     "mode='cpu' or 'auto'")
@@ -225,14 +226,17 @@ class AuctionSolver:
                 "(detected by Hopcroft-Karp cardinality check; pass "
                 "cardinality_check=False to attempt anyway)")
         mode = self._resolve_mode()
-        if mode in ("sharded", "overlapped"):
+        if mode in ("sharded", "overlapped", "sharded_hybrid"):
             # One-flag access to the distribution layer (VERDICT round-1
             # weak item 7): row-shard over the default mesh of all local
             # devices.  For explicit meshes / partition strategies use
-            # parallel.auction_solve_sharded / auction_solve_overlapped.
+            # parallel.auction_solve_sharded / auction_solve_overlapped /
+            # auction_solve_sharded_hybrid (the performance path: tiered
+            # compaction + compact active-set exchanges + host GS tail).
             from sslap_tpu import parallel as _par
-            fn = (_par.auction_solve_sharded if mode == "sharded"
-                  else _par.auction_solve_overlapped)
+            fn = {"sharded": _par.auction_solve_sharded,
+                  "overlapped": _par.auction_solve_overlapped,
+                  "sharded_hybrid": _par.auction_solve_sharded_hybrid}[mode]
             loc, val = _ingest.to_coo(self.problem_spec)
             res = fn(loc=loc, val=val,
                      shape=(self.problem_spec.n, self.problem_spec.m),

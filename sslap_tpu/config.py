@@ -48,7 +48,7 @@ class AuctionConfig:
         if self.theta is not None and self.theta <= 1:
             raise ValueError("theta must be > 1")
         if self.mode not in ("auto", "device", "hybrid", "cpu",
-                             "sharded", "overlapped"):
+                             "sharded", "overlapped", "sharded_hybrid"):
             raise ValueError(f"unknown mode {self.mode!r}")
         if self.engine not in ("auto", "compact", "candidates"):
             raise ValueError(f"unknown engine {self.engine!r}")

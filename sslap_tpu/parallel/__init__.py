@@ -17,6 +17,10 @@ from sslap_tpu.parallel.overlap import (
     auction_solve_overlapped,
     solve_ell_overlapped,
 )
+from sslap_tpu.parallel.sharded_compact import (
+    auction_solve_sharded_hybrid,
+    sharded_ladder_tiers,
+)
 from sslap_tpu.parallel.scaling import measure_round_breakdown
 
 __all__ = [
@@ -27,6 +31,8 @@ __all__ = [
     "shard_nnz_counts",
     "auction_solve_sharded",
     "auction_solve_overlapped",
+    "auction_solve_sharded_hybrid",
+    "sharded_ladder_tiers",
     "sharded_solve_ell",
     "solve_ell_overlapped",
     "measure_round_breakdown",

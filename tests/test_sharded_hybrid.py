@@ -1,0 +1,158 @@
+"""Sharded hybrid (parallel/sharded_compact.py, VERDICT round-2 task 1):
+the distribution layer composed with the round-2 single-chip machinery --
+per-shard RowPack tiered compaction, compact active-set exchanges in
+narrow tiers, truncated phases, host GS tail.  All on the 8-virtual-device
+CPU mesh (SURVEY.md SS5.2)."""
+
+import numpy as np
+import jax
+import pytest
+
+from sslap_tpu import AuctionSolver, auction_solve
+from sslap_tpu.parallel import (
+    auction_solve_sharded_hybrid,
+    make_mesh,
+    sharded_ladder_tiers,
+)
+from tests.utils import random_sparse_instance, scipy_sparse_objective
+
+
+def _mesh(k=None):
+    devs = jax.devices()
+    if k is not None:
+        devs = devs[:k]
+    return make_mesh(devices=devs)
+
+
+def test_ladder_tiers_bounded_by_exchange_crossover():
+    tiers = sharded_ladder_tiers(1 << 20, 1 << 20, 8)
+    # compact exchange must beat the 2x[m] full-width exchange:
+    # 3 * D * C <= 2 * m for every ladder tier
+    assert all(3 * 8 * c <= 2 * (1 << 20) for c in tiers)
+    assert tiers[0] == 65536 and tiers[-1] == 64
+    # tiny problems may have no ladder at all (pure full-width rounds)
+    assert sharded_ladder_tiers(64, 64, 8) == ()
+
+
+@pytest.mark.parametrize("n", [64, 96])
+def test_trunc0_exact_parity_vs_single_device(n):
+    # trunc=0 runs phases to completion on-mesh: identical tie-breaks must
+    # reproduce the single-device assignment EXACTLY.
+    rng = np.random.default_rng(n)
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.15, integer=True)
+    single = auction_solve(loc=loc, val=val, shape=(n, n), mode="device",
+                           cardinality_check=False)
+    sh = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                      mesh=_mesh(), trunc=0,
+                                      cardinality_check=False)
+    assert sh["meta"]["obj"] == single["meta"]["obj"]
+    np.testing.assert_array_equal(sh["sol"], single["sol"])
+
+
+def test_ladder_parity_larger_instance():
+    # Size chosen so the compact-exchange ladder actually engages
+    # (tier_rounds beyond index 1 nonzero).
+    n = 512
+    rng = np.random.default_rng(7)
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.03, integer=True)
+    single = auction_solve(loc=loc, val=val, shape=(n, n), mode="device",
+                           cardinality_check=False)
+    sh = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                      mesh=_mesh(), trunc=0,
+                                      cardinality_check=False)
+    assert sh["meta"]["obj"] == single["meta"]["obj"]
+    np.testing.assert_array_equal(sh["sol"], single["sol"])
+    tr = sh["meta"]["tier_rounds"]
+    assert len(tr) >= 3 and sum(tr[2:]) > 0, tr
+
+
+def test_truncated_hybrid_with_gs_tail_matches_oracle():
+    n = 256
+    rng = np.random.default_rng(11)
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.06, integer=True)
+    sh = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                      mesh=_mesh(), trunc=32,
+                                      cardinality_check=False)
+    assert sh["meta"]["soln_found"]
+    assert sh["meta"]["obj"] == scipy_sparse_objective(loc, val, n, n)
+    # the device pass truncated -> the host tail did real work
+    assert sh["meta"]["host_bids"] > 0
+
+
+def test_comm_bytes_track_active_set_not_m():
+    # The point of the compact exchange (VERDICT round-2 missing item 1):
+    # narrow-tier collective bytes are proportional to tier capacity D*C,
+    # not to m.  Check the analytic model in the meta at a size where the
+    # ladder crossover rule genuinely holds (3*D*C <= 2*m for all tiers;
+    # at tiny m the 64-row floor tier can exceed it).
+    n = 2048
+    rng = np.random.default_rng(13)
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.008, integer=True)
+    sh = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                      mesh=_mesh(), trunc=64,
+                                      cardinality_check=False)
+    meta = sh["meta"]
+    per_round = meta["comm_bytes_per_round_by_tier"]
+    caps = meta["tier_capacities"]
+    D = meta["n_shards"]
+    # full-width rounds move O(m); ladder rounds move 3*4*D*C
+    assert per_round[0] == 3 * n * 4 and per_round[1] == 2 * n * 4
+    for c, b in zip(caps[2:], per_round[2:]):
+        assert b == 3 * 4 * D * c
+        assert b < per_round[1]          # cheaper than a full-width round
+    assert sum(meta["tier_rounds"][2:]) > 0
+    assert meta["comm_bytes_total"] < meta["comm_bytes_fullwidth_equiv"]
+
+
+def test_float_costs_and_warm_prices():
+    n = 128
+    rng = np.random.default_rng(17)
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.1, integer=False)
+    sh = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                      mesh=_mesh(), trunc=16,
+                                      cardinality_check=False)
+    assert sh["meta"]["soln_found"]
+    oracle = scipy_sparse_objective(loc, val, n, n)
+    assert abs(sh["meta"]["obj"] - oracle) <= 1.5
+    warm = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                        mesh=_mesh(), trunc=16,
+                                        cardinality_check=False,
+                                        warm_prices=sh.get("prices"))
+    assert warm["meta"]["soln_found"]
+    assert abs(warm["meta"]["obj"] - oracle) <= 1.5
+
+
+def test_mesh_size_1_equals_single_device():
+    n = 96
+    rng = np.random.default_rng(19)
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.12, integer=True)
+    single = auction_solve(loc=loc, val=val, shape=(n, n), mode="device",
+                           cardinality_check=False)
+    sh = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                      mesh=_mesh(1), trunc=0,
+                                      cardinality_check=False)
+    np.testing.assert_array_equal(sh["sol"], single["sol"])
+
+
+def test_mode_flag_and_rectangular_raise():
+    rng = np.random.default_rng(23)
+    C = rng.integers(1, 100, (48, 48))
+    res = AuctionSolver(C, mode="sharded_hybrid",
+                        cardinality_check=False).solve()
+    assert res["meta"]["soln_found"]
+    assert res["meta"]["mode"] == "sharded_hybrid"
+    with pytest.raises(ValueError, match="square"):
+        auction_solve_sharded_hybrid(rng.integers(1, 9, (8, 12)),
+                                     cardinality_check=False)
+
+
+def test_max_problem():
+    n = 96
+    rng = np.random.default_rng(29)
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.15, integer=True)
+    single = auction_solve(loc=loc, val=val, shape=(n, n), mode="device",
+                           problem="max", cardinality_check=False)
+    sh = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                      problem="max", mesh=_mesh(), trunc=8,
+                                      cardinality_check=False)
+    assert sh["meta"]["obj"] == single["meta"]["obj"]
