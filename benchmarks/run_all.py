@@ -127,11 +127,13 @@ def config3(small=False):
         t0 = time.perf_counter()
         sols_h, metas_h = auction_solve_batched(batched, mode="hybrid")
         dt_h = time.perf_counter() - t0
+        # device_time / host_gs_time in dense-hybrid metas are BATCH
+        # totals (summed over all chunks) -- name them accordingly
         out.update(hybrid_time=dt_h, hybrid_warm_time=warm,
                    hybrid_instances_per_s=B / dt_h,
                    hybrid_all_found=all(mt["soln_found"] for mt in metas_h),
-                   hybrid_device_s=metas_h[0]["device_time"],
-                   hybrid_gs_s=metas_h[0]["host_gs_time"])
+                   hybrid_device_total_s=metas_h[0]["device_time"],
+                   hybrid_gs_total_s=metas_h[0]["host_gs_time"])
         t0 = time.perf_counter()
         sols_c, metas_c = auction_solve_batched(batched, mode="cpu")
         dt_c = time.perf_counter() - t0
@@ -141,6 +143,40 @@ def config3(small=False):
         objs_c = [mt["obj"] for mt in metas_c]
         gaps = [abs(a - b) for a, b in zip(objs_h, objs_c)]
         out["max_obj_gap"] = max(gaps)
+
+    # Batch-axis mesh block (VERDICT round-2 task 6): instances are
+    # independent, so the mesh story is pure data parallelism with ZERO
+    # collectives -- per-chip throughput x D, degraded only by the
+    # slowest-lane effect (each device's vmapped while runs to its local
+    # max round count).  Measured here on whatever mesh exists (1 chip on
+    # this env; the 8-device CPU-sim correctness run lives in
+    # tests/test_batch.py::test_batched_sharded_over_mesh), with the lane
+    # round-count stats that parameterize the scaling model
+    # (PERF.md round 3).
+    import jax
+    from sslap_tpu.parallel import make_mesh
+    Bm = min(B, 32)
+    sub = stack_problems(probs[:Bm])
+    mesh = make_mesh(axis_name="batch")
+    Dm = mesh.shape["batch"]
+    sols_m, metas_m = auction_solve_batched(sub, mesh=mesh)  # warm/compile
+    t0 = time.perf_counter()
+    sols_m, metas_m = auction_solve_batched(sub, mesh=mesh)
+    dt_m = time.perf_counter() - t0
+    lane_rounds = [mt["its"] for mt in metas_m]
+    out["mesh"] = {
+        "devices": int(Dm),
+        "B": Bm,
+        "instances_per_s": Bm / dt_m,
+        "per_device_instances_per_s": Bm / dt_m / Dm,
+        "all_found": all(mt["soln_found"] for mt in metas_m),
+        "lane_rounds_max": int(max(lane_rounds)),
+        "lane_rounds_mean": float(np.mean(lane_rounds)),
+        # straggler model: D-device wall ~ max over device-local lane
+        # maxima; with B/D lanes per device the expected local max shrinks
+        # toward the mean as D grows -> scaling efficiency >= mean/max
+        "straggler_floor": float(np.mean(lane_rounds) / max(lane_rounds)),
+    }
     else:
         t0 = time.perf_counter()
         sols, metas = auction_solve_batched(batched)   # includes compile
@@ -264,22 +300,34 @@ def sol_calibration(small=False):
             "nnz_per_s_upper_bound": n * K / dt, "time": dt}
 
 
-def scale_smoke(small=False):
-    """Single-chip capacity smoke for config 5's 10M x 10M: ingest +
-    device-seeded feasibility + bounded tiered rounds on ONE chip.
+def scale_smoke(small=False, trunc=2048, feasibility_check=True):
+    """COMPLETE 10M x 10M solve-to-optimality on ONE chip (round 3,
+    VERDICT round-2 task 3; round 2 only ran 60 bounded rounds).
 
-    Round 1 found the separate lane-padded ELL arrays need ~16 GB at 10M
-    rows (OOM).  Round 2's line-packed RowPack (compact.np_build_rowpack,
-    SURVEY.md SS8.2 item 5) packs R = 128 // (2K+1) rows per 128-lane line
-    host-side, so the full 10M-row / 100M-nnz instance ships ~1 GB and
-    runs bounded rounds on one v5e; the multi-chip row partition remains
-    the config's real execution plan (this proves per-chip capacity)."""
+    The pieces that make it finish:
+      * native fused packer (compact.np_build_rowpack sign_scale path):
+        one C++ pass replaces the 34-61 s numpy pipeline;
+      * chunked phase execution: solve_rowpack_tiered(max_phases=1,
+        init_state=...) with the TieredState kept DEVICE-resident between
+        calls -- each call is one bounded eps phase, so the fragile tunnel
+        never sees a multi-minute execution and only scalars are fetched
+        per chunk;
+      * truncated phases + ONE host GS tail at eps_min (the hybrid
+        recipe) for the serial eviction chains;
+      * int32-index native Hopcroft-Karp for the feasibility pre-pass
+        (VERDICT task 8), reported separately -- off the critical path.
+
+    Optimality certificate: eps_min-CS checked host-side over ALL rows
+    (one vectorized pass over the 100M-entry ELL image); with a complete
+    assignment this bounds the objective within n * eps_min of optimal.
+    """
     import jax
     import jax.numpy as jnp
     from sslap_tpu import ingest as _ingest
     from sslap_tpu import auction as _auction
     from sslap_tpu import compact as _compact
     from sslap_tpu import feasibility as _feas
+    from sslap_tpu import hybrid as _hybrid
     n = 1_000_000 if small else 10_000_000
     t0 = time.perf_counter()
     loc, val = make_sparse(n, n, 10, seed=7)
@@ -287,37 +335,99 @@ def scale_smoke(small=False):
     t0 = time.perf_counter()
     prob = _ingest.from_coo(loc, val, shape=(n, n))
     t_ing = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    feasible = _feas.is_feasible(prob)
-    t_hk = time.perf_counter() - t0
+    t_hk = None
+    feasible = None
+    if feasibility_check:
+        t0 = time.perf_counter()
+        feasible = _feas.is_feasible(prob)
+        t_hk = time.perf_counter() - t0
     vals_np = np.asarray(prob.vals)
+    valid_np = np.asarray(prob.valid)
     tr = _auction.make_transform("min", n, vals_np.dtype, float(val.max()))
     e0, e_min, th = _auction.default_eps_schedule(
         vals_np.dtype, float(val.max()), n, tr.scale,
         theta=_auction.DEVICE_THETA)
     t0 = time.perf_counter()
-    vals_t = vals_np * np.asarray(tr.sign * tr.scale, vals_np.dtype)
     rowpack = _compact.np_build_rowpack(
-        np.asarray(prob.cols), vals_t, np.asarray(prob.valid),
-        np.asarray(prob.nvalid))
-    bigp = float(vals_t[np.asarray(prob.valid)].max()
-                 - vals_t[np.asarray(prob.valid)].min()) + 1.0
+        np.asarray(prob.cols), vals_np, valid_np,
+        np.asarray(prob.nvalid), sign_scale=tr.sign * tr.scale)
     t_pack = time.perf_counter() - t0
     t0 = time.perf_counter()
-    res, _ = jax.jit(
-        lambda rp, nv, p0: _compact.solve_rowpack_tiered(
-            rp, nv, p0, e0, e_min, th, 60, bigp=bigp, trunc=256))(
-        rowpack, jnp.asarray(np.asarray(prob.nvalid)),
-        jnp.zeros((n,), vals_t.dtype))
-    unassigned = int(np.asarray(res.unassigned))
-    rounds = int(np.asarray(res.rounds))
-    t_rounds = time.perf_counter() - t0
-    return {"config": "scale-smoke", "n": n, "nnz": len(val),
+    indptr, indices, data_csr = _hybrid.ell_to_csr_transformed(
+        prob, tr.sign, tr.scale)
+    t_csr = time.perf_counter() - t0
+    bigp = float(data_csr.max() - data_csr.min()) + 1.0
+    max_iter = _auction.default_max_iter(n)
+
+    # Chunked device pass: one eps phase per call, state device-resident.
+    solve_fn = jax.jit(functools.partial(
+        _compact.solve_rowpack_tiered, bigp=np.float32(bigp),
+        trunc=int(trunc), max_phases=1))
+    nvalid_dev = jnp.asarray(np.asarray(prob.nvalid))
+    t0 = time.perf_counter()
+    state = None
+    chunk_times = []
+    while True:
+        tc = time.perf_counter()
+        res, state = solve_fn(rowpack, nvalid_dev,
+                              jnp.zeros((n,), jnp.float32),
+                              e0, e_min, th, max_iter,
+                              init_state=state)
+        eps_now = float(np.asarray(res.final_eps))      # scalar fetch
+        rounds_now = int(np.asarray(res.rounds))
+        chunk_times.append(round(time.perf_counter() - tc, 1))
+        print(f"  phase chunk: eps={eps_now:.3g} rounds={rounds_now} "
+              f"({chunk_times[-1]}s)", file=sys.stderr, flush=True)
+        # compare in the DEVICE dtype: the f32 eps may round a hair above
+        # the float64 e_min and must still read as "reached"
+        if np.float32(eps_now) <= np.float32(e_min) or \
+                rounds_now >= max_iter:
+            break
+    prices = np.array(res.prices)
+    sigma = np.array(res.sigma)
+    tier_rounds = np.asarray(state.tier_rounds).tolist()
+    t_dev = time.perf_counter() - t0
+
+    # Host GS tail at eps_min finishes the truncated chains.
+    t0 = time.perf_counter()
+    owner = np.full(n, -1, np.int32)
+    assigned = sigma >= 0
+    owner[sigma[assigned]] = np.nonzero(assigned)[0].astype(np.int32)
+    bids = _hybrid._gs(indptr, indices, data_csr, prices, sigma, owner,
+                       e_min, np.float32(bigp), 0, 200 * n + 10_000_000)
+    t_gs = time.perf_counter() - t0
+    unassigned = int((sigma < 0).sum())
+
+    # Full eps_min-CS certificate (vectorized host pass over the ELL
+    # image): every row's assigned value within eps_min of its best.
+    t0 = time.perf_counter()
+    vals_t = vals_np * np.float32(tr.sign * tr.scale)
+    w = np.where(valid_np, vals_t - prices[np.asarray(prob.cols)],
+                 np.float32(-np.inf))
+    v1 = w.max(axis=1)
+    cur = np.take_along_axis(
+        w, np.argmax(np.asarray(prob.cols) == sigma[:, None], axis=1)[:, None],
+        axis=1)[:, 0]
+    viol = int((cur < v1 - np.float32(e_min) * 1.001).sum())
+    t_cert = time.perf_counter() - t0
+
+    obj = float(np.take_along_axis(
+        vals_np, np.argmax(np.asarray(prob.cols) == sigma[:, None],
+                           axis=1)[:, None], axis=1)[:, 0].sum())
+    return {"config": "scale", "n": n, "nnz": len(val),
+            "soln_found": unassigned == 0 and bids >= 0,
+            "obj": round(obj, 1),
+            "eps_cs_violations": viol,
             "gen_s": round(t_gen, 1), "ingest_s": round(t_ing, 1),
-            "hk_feasible": bool(feasible), "hk_s": round(t_hk, 1),
-            "pack_s": round(t_pack, 1),
-            "rounds": rounds, "rounds_s": round(t_rounds, 1),
-            "assigned_after_rounds": n - unassigned}
+            "hk_feasible": feasible, "hk_s": (round(t_hk, 1)
+                                              if t_hk else None),
+            "pack_s": round(t_pack, 1), "csr_s": round(t_csr, 1),
+            "device_s": round(t_dev, 1), "chunk_s": chunk_times,
+            "host_gs_s": round(t_gs, 1), "host_gs_bids": int(bids),
+            "cert_s": round(t_cert, 1),
+            "tier_rounds": tier_rounds,
+            "total_s": round(t_gen + t_ing + (t_hk or 0) + t_pack + t_csr
+                             + t_dev + t_gs, 1)}
 
 
 CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4,

@@ -72,13 +72,22 @@ def default_tiers(n: int) -> Tuple[int, ...]:
     phase-start / bulk rounds); lower tiers shrink the per-round cost as the
     active set collapses into eviction chains.
 
-    x2 spacing (round 2): a round costs its tier CAPACITY, not the live
+    Spacing (round 3): a round costs its tier CAPACITY, not the live
     count, so with ratio-r tiers the average capacity/active slack is
-    (r-1)/ln r -- 2.16x at the old r=4, 1.44x at r=2.  The finer ladder
-    cut measured 1M device time by ~1/4 (PERF.md)."""
+    (r-1)/ln r -- 2.16x at round 1's r=4, 1.44x at r=2, ~1.2x with
+    {2^k, 3*2^(k-1)} interleaving (ratios alternate 4/3 and 3/2).  The
+    interleaved tiers are added ONLY above 32768: upper tiers carry the
+    most gathered elements per x2 step (~2M row-fetches each, PERF
+    round-3 probe) so the slack cut pays there, while a fully-interleaved
+    ladder (25 tiers at 1M) made the XLA program so large the 1M-shape
+    compile did not finish in 40 minutes (measured round 3) -- program
+    size is a real budget on this axis."""
     tiers = [n]
     c = 1 << max((n - 1).bit_length() - 1, 6)   # largest power of two < n
     while c >= 64:
+        half_up = 3 * (c // 2)                  # 1.5 * c, between c and 2c
+        if c >= 32768 and half_up < n and half_up > c:
+            tiers.append(half_up)
         if c < n:
             tiers.append(c)
         c //= 2
@@ -146,28 +155,49 @@ def build_rowpack(cols, vals_m, nvalid, pack_lines: bool = True):
     return RowPack(data=base.reshape(npad // R, R * W), R=R, W=W)
 
 
-def np_build_rowpack(cols, vals_t, valid, nvalid) -> "RowPack":
-    """Host-side (numpy) rowpack builder: pack BEFORE the device transfer
-    so capacity-scale instances never materialize the lane-padded ELL
-    arrays on chip (or ship 2x the bytes over the tunnel)."""
+def np_build_rowpack(cols, vals_t, valid, nvalid, sign_scale=None):
+    """Host-side rowpack builder: pack BEFORE the device transfer so
+    capacity-scale instances never materialize the lane-padded ELL arrays
+    on chip (or ship 2x the bytes over the tunnel).
+
+    ``sign_scale``: when given, ``vals_t`` holds RAW costs and the min/max
+    transform (v * sign * scale) is applied during packing -- with the
+    native (C++) packer this makes the whole build ONE fused pass (read
+    cols/vals/valid, write the packed image), replacing a numpy pipeline
+    measured at 34-61 s for 10M rows (VERDICT round-2 task 3)."""
     import numpy as np
-    dtype = vals_t.dtype
+    dtype = np.asarray(vals_t).dtype
     neg = np.asarray(neg_sentinel(dtype))
-    vals_m = np.where(valid, vals_t, neg)
-    if np.issubdtype(dtype, np.integer):
-        bits = vals_m.astype(np.int32)
-    else:
-        bits = vals_m.astype(np.float32).view(np.int32)
-    base = np.concatenate(
-        [cols.astype(np.int32), bits,
-         nvalid.astype(np.int32)[:, None]], axis=1)
-    n, W = base.shape
+    n, K = cols.shape
+    W = 2 * K + 1
     R = max(128 // W, 1)
+    npad = ((n + R - 1) // R) * R
+
+    ss = 1 if sign_scale is None else sign_scale
+    try:
+        from sslap_tpu.native import rowpack_fill as _rp_native
+    except Exception:   # pragma: no cover
+        _rp_native = None
+    base = None
+    if _rp_native is not None:
+        base = _rp_native(np.asarray(cols), np.asarray(vals_t),
+                          np.asarray(valid), np.asarray(nvalid),
+                          ss, neg, npad)
+    if base is None:
+        vals_tt = np.asarray(vals_t) if sign_scale is None else \
+            (np.asarray(vals_t) * np.asarray(sign_scale, dtype)).astype(dtype)
+        vals_m = np.where(valid, vals_tt, neg)
+        if np.issubdtype(dtype, np.integer):
+            bits = vals_m.astype(np.int32)
+        else:
+            bits = vals_m.astype(np.float32).view(np.int32)
+        base = np.concatenate(
+            [cols.astype(np.int32), bits,
+             nvalid.astype(np.int32)[:, None]], axis=1)
+        if npad != n:
+            base = np.pad(base, ((0, npad - n), (0, 0)))
     if R == 1:
         return base
-    npad = ((n + R - 1) // R) * R
-    if npad != n:
-        base = np.pad(base, ((0, npad - n), (0, 0)))
     return RowPack(data=np.ascontiguousarray(base.reshape(npad // R, R * W)),
                    R=R, W=W)
 

@@ -36,7 +36,7 @@ def _ell_to_csr(prob: ELLProblem) -> Tuple[np.ndarray, np.ndarray]:
     counts = valid.sum(axis=1).astype(np.int64)
     indptr = np.zeros(prob.n + 1, np.int64)
     np.cumsum(counts, out=indptr[1:])
-    indices = cols[valid].astype(np.int64)
+    indices = cols[valid]          # int32: the native i32 HK path's layout
     return indptr, indices
 
 
@@ -57,14 +57,22 @@ def hopcroft_karp_csr(
     built-in greedy seed.
     """
     indptr = np.ascontiguousarray(indptr, np.int64)
-    indices = np.ascontiguousarray(indices, np.int64)
     if use_native and _hk_native is not None:
+        if max(n, m) < 2 ** 31:
+            # int32 CSR + match arrays: half the memory traffic of the
+            # bandwidth-bound BFS/DFS sweeps (measured win at capacity
+            # scale; identical scan order -> identical matching).
+            from sslap_tpu.native import hopcroft_karp_native_i32
+            return hopcroft_karp_native_i32(indptr, indices, n, m,
+                                            init_match=init_match)
+        indices = np.ascontiguousarray(indices, np.int64)
         if init_match is None:
             return _hk_native(indptr, indices, n, m)
         from sslap_tpu.native import hopcroft_karp_warm_native
         mr = np.ascontiguousarray(init_match[0], np.int64).copy()
         mc = np.ascontiguousarray(init_match[1], np.int64).copy()
         return hopcroft_karp_warm_native(indptr, indices, n, m, mr, mc)
+    indices = np.ascontiguousarray(indices, np.int64)
 
     if init_match is not None:
         match_row = np.asarray(init_match[0], np.int64).copy()

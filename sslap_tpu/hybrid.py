@@ -306,11 +306,11 @@ def solve_hybrid(
             rowpack_dev = device_cache["rowpack"]
             nvalid_dev = device_cache["nvalid"]
         else:
-            vals_t_np = (vals_np *
-                         np.asarray(tr.sign * tr.scale, dtype)).astype(dtype)
+            # One fused native pass: transform + sentinel mask + pack
+            # (no [n, K] vals_t temporary).
             rp = _compact_mod().np_build_rowpack(
-                np.asarray(prob.cols), vals_t_np, valid_np,
-                np.asarray(prob.nvalid))
+                np.asarray(prob.cols), vals_np, valid_np,
+                np.asarray(prob.nvalid), sign_scale=tr.sign * tr.scale)
             rowpack_dev = jax.device_put(rp)
             nvalid_dev = jax.device_put(np.asarray(prob.nvalid))
             if device_cache is not None:

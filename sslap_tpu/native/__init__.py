@@ -17,12 +17,16 @@ if _lib is not None:
         auction_gs,
         build_ell_native,
         hopcroft_karp_native,
+        hopcroft_karp_native_i32,
         hopcroft_karp_warm_native,
+        rowpack_fill,
         unassign_violators_native,
     )
 else:  # toolchain unavailable: numpy fallbacks are used by callers
     hopcroft_karp_native = None
+    hopcroft_karp_native_i32 = None
     hopcroft_karp_warm_native = None
     build_ell_native = None
     auction_gs = None
     unassign_violators_native = None
+    rowpack_fill = None

@@ -72,6 +72,20 @@ def _declare(lib: ctypes.CDLL) -> None:
         i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p]
     lib.sslap_hopcroft_karp_warm.restype = ctypes.c_int64
     lib.sslap_hopcroft_karp_warm.argtypes = lib.sslap_hopcroft_karp.argtypes
+    lib.sslap_hopcroft_karp_i32.restype = ctypes.c_int64
+    lib.sslap_hopcroft_karp_i32.argtypes = [
+        i64p, i32p, ctypes.c_int64, ctypes.c_int64, i32p, i32p]
+    lib.sslap_hopcroft_karp_warm_i32.restype = ctypes.c_int64
+    lib.sslap_hopcroft_karp_warm_i32.argtypes = \
+        lib.sslap_hopcroft_karp_i32.argtypes
+    lib.sslap_rowpack_fill_f32.restype = None
+    lib.sslap_rowpack_fill_f32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i32p, f32p, b8p, i32p,
+        ctypes.c_float, ctypes.c_float, i32p]
+    lib.sslap_rowpack_fill_i32.restype = None
+    lib.sslap_rowpack_fill_i32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i32p, i32p, b8p, i32p,
+        ctypes.c_int32, ctypes.c_int32, i32p]
     lib.sslap_coo_prepare.restype = ctypes.c_int64
     lib.sslap_coo_prepare.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p, i64p]
@@ -154,6 +168,64 @@ def hopcroft_karp_warm_native(indptr: np.ndarray, indices: np.ndarray,
         _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int64),
         n, m, _ptr(match_row, ctypes.c_int64), _ptr(match_col, ctypes.c_int64))
     return match_row, match_col, int(size)
+
+
+def hopcroft_karp_native_i32(indptr: np.ndarray, indices: np.ndarray,
+                             n: int, m: int,
+                             init_match: Optional[Tuple[np.ndarray,
+                                                        np.ndarray]] = None
+                             ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """int32-index Hopcroft-Karp (n, m < 2^31): halves the CSR + match
+    memory traffic vs the int64 ABI -- the BFS/DFS sweeps are bandwidth
+    bound at capacity scale (10M rows / 100M nnz)."""
+    lib = load_native()
+    assert lib is not None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    if init_match is None:
+        match_row = np.empty(n, np.int32)
+        match_col = np.empty(m, np.int32)
+        size = lib.sslap_hopcroft_karp_i32(
+            _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+            n, m, _ptr(match_row, ctypes.c_int32),
+            _ptr(match_col, ctypes.c_int32))
+    else:
+        match_row = np.ascontiguousarray(init_match[0], np.int32).copy()
+        match_col = np.ascontiguousarray(init_match[1], np.int32).copy()
+        size = lib.sslap_hopcroft_karp_warm_i32(
+            _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+            n, m, _ptr(match_row, ctypes.c_int32),
+            _ptr(match_col, ctypes.c_int32))
+    return match_row, match_col, int(size)
+
+
+def rowpack_fill(cols: np.ndarray, vals: np.ndarray, valid: np.ndarray,
+                 nvalid: np.ndarray, sign_scale, neg, npad: int
+                 ) -> Optional[np.ndarray]:
+    """Fused native ELL -> RowPack image: returns the packed [npad, 2K+1]
+    int32 array (transform + sentinel masking applied in the same pass),
+    or None when the native library / dtype is unavailable.  ``npad`` >= n
+    zero-fills the padding rows (nvalid = 0: inert)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n, K = cols.shape
+    dtype = vals.dtype
+    if dtype == np.float32:
+        fn, ct = lib.sslap_rowpack_fill_f32, ctypes.c_float
+    elif dtype == np.int32:
+        fn, ct = lib.sslap_rowpack_fill_i32, ctypes.c_int32
+    else:
+        return None
+    cols = np.ascontiguousarray(cols, np.int32)
+    vals = np.ascontiguousarray(vals, dtype)
+    valid = np.ascontiguousarray(valid, bool)
+    nvalid = np.ascontiguousarray(nvalid, np.int32)
+    out = np.zeros((npad, 2 * K + 1), np.int32)
+    fn(n, K, _ptr(cols, ctypes.c_int32), _ptr(vals, ct),
+       _ptr(valid, ctypes.c_bool), _ptr(nvalid, ctypes.c_int32),
+       ct(sign_scale), ct(neg), _ptr(out, ctypes.c_int32))
+    return out
 
 
 def auction_gs(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,

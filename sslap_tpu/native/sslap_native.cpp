@@ -15,31 +15,34 @@
 #include <numeric>
 #include <vector>
 
-extern "C" {
-
 // ---------------------------------------------------------------------------
 // Hopcroft-Karp over bipartite CSR structure.  Deterministic: rows and
 // adjacency scanned in index order (matches the numpy fallback in
 // feasibility.py, which doubles as its oracle in tests/test_feasibility.py).
 // Returns matching size; fills match_row[n], match_col[m] with -1 = free.
 // ---------------------------------------------------------------------------
+template <typename I>
 static int64_t hopcroft_karp_impl(const int64_t* indptr,
-                                  const int64_t* indices,
+                                  const I* indices,
                                   int64_t n, int64_t m,
-                                  int64_t* match_row, int64_t* match_col,
+                                  I* match_row, I* match_col,
                                   bool warm) {
+  // Index type I: int64 (original ABI) or int32 (capacity-scale fast
+  // path -- at 10M rows / 100M nnz the int32 CSR + match arrays halve
+  // the memory traffic of the BFS/DFS sweeps, which are bandwidth-bound
+  // on this host).
   const int64_t INF = INT64_MAX / 4;
   int64_t size = 0;
   if (!warm) {
-    std::fill(match_row, match_row + n, int64_t{-1});
-    std::fill(match_col, match_col + m, int64_t{-1});
+    std::fill(match_row, match_row + n, I{-1});
+    std::fill(match_col, match_col + m, I{-1});
 
     // Greedy seed pass.
     for (int64_t u = 0; u < n; ++u) {
       for (int64_t k = indptr[u]; k < indptr[u + 1]; ++k) {
-        int64_t v = indices[k];
+        I v = indices[k];
         if (match_col[v] == -1) {
-          match_col[v] = u;
+          match_col[v] = static_cast<I>(u);
           match_row[u] = v;
           ++size;
           break;
@@ -90,14 +93,14 @@ static int64_t hopcroft_karp_impl(const int64_t* indptr,
       int64_t u = stack[top];
       bool advanced = false;
       while (it[u] < indptr[u + 1]) {
-        int64_t v = indices[it[u]++];
+        I v = indices[it[u]++];
         int64_t w = match_col[v];
         if (w == -1) {
           while (top >= 0) {  // augment along the stack
             int64_t uu = stack[top--];
-            int64_t pv = match_row[uu];
+            I pv = match_row[uu];
             match_row[uu] = v;
-            match_col[v] = uu;
+            match_col[v] = static_cast<I>(uu);
             v = pv;
           }
           return true;
@@ -125,11 +128,13 @@ static int64_t hopcroft_karp_impl(const int64_t* indptr,
   return size;
 }
 
+extern "C" {
+
 int64_t sslap_hopcroft_karp(const int64_t* indptr, const int64_t* indices,
                             int64_t n, int64_t m,
                             int64_t* match_row, int64_t* match_col) {
-  return hopcroft_karp_impl(indptr, indices, n, m, match_row, match_col,
-                            /*warm=*/false);
+  return hopcroft_karp_impl<int64_t>(indptr, indices, n, m, match_row,
+                                     match_col, /*warm=*/false);
 }
 
 // Warm variant: match_row/match_col carry an initial (partial) matching;
@@ -138,8 +143,26 @@ int64_t sslap_hopcroft_karp_warm(const int64_t* indptr,
                                  const int64_t* indices,
                                  int64_t n, int64_t m,
                                  int64_t* match_row, int64_t* match_col) {
-  return hopcroft_karp_impl(indptr, indices, n, m, match_row, match_col,
-                            /*warm=*/true);
+  return hopcroft_karp_impl<int64_t>(indptr, indices, n, m, match_row,
+                                     match_col, /*warm=*/true);
+}
+
+// int32-index variants (n, m < 2^31): half the CSR/match memory traffic.
+int64_t sslap_hopcroft_karp_i32(const int64_t* indptr,
+                                const int32_t* indices,
+                                int64_t n, int64_t m,
+                                int32_t* match_row, int32_t* match_col) {
+  return hopcroft_karp_impl<int32_t>(indptr, indices, n, m, match_row,
+                                     match_col, /*warm=*/false);
+}
+
+int64_t sslap_hopcroft_karp_warm_i32(const int64_t* indptr,
+                                     const int32_t* indices,
+                                     int64_t n, int64_t m,
+                                     int32_t* match_row,
+                                     int32_t* match_col) {
+  return hopcroft_karp_impl<int32_t>(indptr, indices, n, m, match_row,
+                                     match_col, /*warm=*/true);
 }
 
 // ---------------------------------------------------------------------------
@@ -214,6 +237,59 @@ void sslap_ell_fill_f64(int64_t nnz, int64_t n, int64_t K,
       ell_valid[u * K + s] = true;
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// ELL -> line-packed RowPack (compact.RowPack layout): one fused pass that
+// applies the min/max transform (vals * sign_scale), masks invalid slots to
+// the negative sentinel, and writes the packed [npad, W = 2K+1] int32 image
+// (row-major; the caller reshapes to [npad/R, R*W] lines -- rows are
+// consecutive inside a line, so the flat layouts coincide).  Replaces a
+// multi-temporary numpy pipeline measured at 34-61 s for 10M rows x K=16
+// (VERDICT round-2 task 3); this pass is a single read of cols/vals/valid
+// and a single write of the packed image.
+// The caller allocates `out` zero-filled for npad * W (calloc is lazy), so
+// padding rows carry nvalid = 0 and never bid.
+// ---------------------------------------------------------------------------
+}  // extern "C" (template below; C entry points follow)
+
+template <typename T>
+static void rowpack_fill(int64_t n, int64_t K, const int32_t* cols,
+                         const T* vals, const bool* valid,
+                         const int32_t* nvalid, T sign_scale, T neg,
+                         int32_t* out) {
+  const int64_t W = 2 * K + 1;
+  for (int64_t u = 0; u < n; ++u) {
+    int32_t* row = out + u * W;
+    const int32_t* cu = cols + u * K;
+    const T* vu = vals + u * K;
+    const bool* mu = valid + u * K;
+    std::memcpy(row, cu, sizeof(int32_t) * K);
+    for (int64_t j = 0; j < K; ++j) {
+      T v = mu[j] ? static_cast<T>(vu[j] * sign_scale) : neg;
+      int32_t bits;
+      std::memcpy(&bits, &v, sizeof(int32_t));
+      row[K + j] = bits;
+    }
+    row[2 * K] = nvalid[u];
+  }
+}
+
+extern "C" {
+
+void sslap_rowpack_fill_f32(int64_t n, int64_t K, const int32_t* cols,
+                            const float* vals, const bool* valid,
+                            const int32_t* nvalid, float sign_scale,
+                            float neg, int32_t* out) {
+  rowpack_fill<float>(n, K, cols, vals, valid, nvalid, sign_scale, neg, out);
+}
+
+void sslap_rowpack_fill_i32(int64_t n, int64_t K, const int32_t* cols,
+                            const int32_t* vals, const bool* valid,
+                            const int32_t* nvalid, int32_t sign_scale,
+                            int32_t neg, int32_t* out) {
+  rowpack_fill<int32_t>(n, K, cols, vals, valid, nvalid, sign_scale, neg,
+                        out);
 }
 
 void sslap_ell_fill_i32(int64_t nnz, int64_t n, int64_t K,

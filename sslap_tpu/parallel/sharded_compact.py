@@ -502,11 +502,10 @@ def auction_solve_sharded_hybrid(
     R = max(128 // W, 1)
     prob_p = pad_rows_for_mesh(prob, D * R)
     n_pad = prob_p.n
-    vals_t_np = (np.asarray(prob_p.vals) *
-                 np.asarray(tr.sign * tr.scale, vdtype)).astype(vdtype)
     rp = _compact.np_build_rowpack(
-        np.asarray(prob_p.cols), vals_t_np, np.asarray(prob_p.valid),
-        np.asarray(prob_p.nvalid))
+        np.asarray(prob_p.cols), np.asarray(prob_p.vals),
+        np.asarray(prob_p.valid), np.asarray(prob_p.nvalid),
+        sign_scale=tr.sign * tr.scale)
     data_arr = rp.data if isinstance(rp, RowPack) else rp
     nvalid_pad = np.asarray(prob_p.nvalid)
 
