@@ -144,6 +144,16 @@ def config3(small=False):
         gaps = [abs(a - b) for a, b in zip(objs_h, objs_c)]
         out["max_obj_gap"] = max(gaps)
 
+    else:
+        t0 = time.perf_counter()
+        sols, metas = auction_solve_batched(batched)   # includes compile
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sols, metas = auction_solve_batched(batched)
+        dt = time.perf_counter() - t0
+        out.update(time=dt, warm_time=warm, instances_per_s=B / dt,
+                   all_found=all(mt["soln_found"] for mt in metas))
+
     # Batch-axis mesh block (VERDICT round-2 task 6): instances are
     # independent, so the mesh story is pure data parallelism with ZERO
     # collectives -- per-chip throughput x D, degraded only by the
@@ -153,15 +163,15 @@ def config3(small=False):
     # tests/test_batch.py::test_batched_sharded_over_mesh), with the lane
     # round-count stats that parameterize the scaling model
     # (PERF.md round 3).
-    import jax
     from sslap_tpu.parallel import make_mesh
     Bm = min(B, 32)
     sub = stack_problems(probs[:Bm])
     mesh = make_mesh(axis_name="batch")
     Dm = mesh.shape["batch"]
-    sols_m, metas_m = auction_solve_batched(sub, mesh=mesh)  # warm/compile
+    sols_m, metas_m = auction_solve_batched(sub, mesh=mesh,
+                                            mode="device")  # warm/compile
     t0 = time.perf_counter()
-    sols_m, metas_m = auction_solve_batched(sub, mesh=mesh)
+    sols_m, metas_m = auction_solve_batched(sub, mesh=mesh, mode="device")
     dt_m = time.perf_counter() - t0
     lane_rounds = [mt["its"] for mt in metas_m]
     out["mesh"] = {
@@ -177,15 +187,6 @@ def config3(small=False):
         # toward the mean as D grows -> scaling efficiency >= mean/max
         "straggler_floor": float(np.mean(lane_rounds) / max(lane_rounds)),
     }
-    else:
-        t0 = time.perf_counter()
-        sols, metas = auction_solve_batched(batched)   # includes compile
-        warm = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        sols, metas = auction_solve_batched(batched)
-        dt = time.perf_counter() - t0
-        out.update(time=dt, warm_time=warm, instances_per_s=B / dt,
-                   all_found=all(mt["soln_found"] for mt in metas))
     return out
 
 
@@ -408,7 +409,14 @@ def scale_smoke(small=False, trunc=2048, feasibility_check=True):
     cur = np.take_along_axis(
         w, np.argmax(np.asarray(prob.cols) == sigma[:, None], axis=1)[:, None],
         axis=1)[:, 0]
-    viol = int((cur < v1 - np.float32(e_min) * 1.001).sum())
+    # f32 rounding slack: prices are reconstructed through 2-3 rounded ops
+    # per bid, so CS holds within a few ULPs at the working magnitude
+    # (|w| ~ cost_range + prices); without this the cert flags 1-2-ulp
+    # wobbles as violations (measured: gaps of ~1.1 ulp at |w|~2000).
+    finite = np.isfinite(w)
+    ulp = float(np.spacing(np.float32(np.abs(w[finite]).max()))) \
+        if finite.any() else 0.0
+    viol = int((cur < v1 - np.float32(e_min) - np.float32(8 * ulp)).sum())
     t_cert = time.perf_counter() - t0
 
     obj = float(np.take_along_axis(
