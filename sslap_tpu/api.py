@@ -200,7 +200,11 @@ class AuctionSolver:
         prob = self.problem_spec
         if not _hybrid.native_available():
             return "device"
-        if prob.n == prob.m and prob.n >= 500_000:
+        # 500k unless SSLAP_TPU_CALIBRATE=1, which measures this machine's
+        # native-GS rate + device gather cost once and scales the
+        # crossover accordingly (calibrate.py, VERDICT round-2 weak 6).
+        from sslap_tpu.calibrate import crossover
+        if prob.n == prob.m and prob.n >= crossover():
             return "hybrid"
         # Below the hybrid crossover the native GS wins at EVERY size --
         # at n=1000 it solves in ~3 ms where a device dispatch costs
