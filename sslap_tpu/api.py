@@ -405,9 +405,17 @@ def auction_solve(
 
 
 def hopcroft_solve(mat=None, *, loc=None, val=None,
-                   shape: Optional[Tuple[int, int]] = None) -> np.ndarray:
+                   shape: Optional[Tuple[int, int]] = None,
+                   warm=None) -> np.ndarray:
     """Standalone Hopcroft-Karp maximum bipartite matching over the sparsity
     pattern (values ignored; reference R3, SURVEY.md SS4.3).
+
+    ``warm`` optionally seeds augmentation from a previous matching (int
+    array [n]: col per row, -1 unmatched) -- e.g. the previous frame of a
+    tracking workload.  Edges absent from the current pattern and duplicate
+    columns are dropped before seeding, so any stale matching is safe.
+    Measured at 10M rows / 100M nnz (PERF.md round 3): cold 64.3 s, warm
+    same-pattern 2.6 s, warm with 0.1% of edges dropped 33 s.
 
     Returns int array [n]: matched column per row, -1 if unmatched.
     """
@@ -420,7 +428,10 @@ def hopcroft_solve(mat=None, *, loc=None, val=None,
             val = np.zeros(np.asarray(loc).shape[0], np.int32)
         prob = _ingest.from_coo(loc, val, shape=shape,
                                 require_nonnegative=False)
-    match_row, _, _ = _feas.hopcroft_karp(prob)
+    init = None
+    if warm is not None:
+        init = _feas.sanitize_matching(prob, np.asarray(warm))
+    match_row, _, _ = _feas.hopcroft_karp(prob, init_match=init)
     return match_row.astype(np.int64)
 
 

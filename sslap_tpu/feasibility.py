@@ -161,8 +161,45 @@ def hopcroft_karp_csr(
     return match_row, match_col, size
 
 
+def sanitize_matching(prob: ELLProblem,
+                      warm: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Turn a possibly-stale row->col matching into a valid partial matching
+    of ``prob``'s CURRENT pattern (the warm-HK seed for tracking workloads,
+    PERF.md round 3: same-pattern reseed 2.6 s vs 64 s cold at 10M rows).
+
+    Drops (a) rows whose matched edge no longer exists in the pattern and
+    (b) all but the first row claiming any column.  O(nnz) vectorized.
+    Returns (match_row [n], match_col [m]) int64 arrays.
+    """
+    n, m = prob.n, prob.m
+    warm = np.asarray(warm).astype(np.int64, copy=True).ravel()
+    if warm.shape[0] != n:
+        raise ValueError(f"warm matching has length {warm.shape[0]}, "
+                         f"expected n={n}")
+    indptr, indices = _ell_to_csr(prob)
+    counts = np.diff(indptr)
+    rows_of_edges = np.repeat(np.arange(n, dtype=np.int32), counts)
+    # edge e survives iff it IS row r(e)'s warm edge
+    hit_rows = rows_of_edges[indices == warm[rows_of_edges]]
+    ok = np.zeros(n, bool)
+    ok[hit_rows] = True
+    ok &= (warm >= 0) & (warm < m)
+    warm[~ok] = -1
+    # one row per column: keep the lowest-index row (deterministic)
+    claimed = np.flatnonzero(warm >= 0)
+    _, first = np.unique(warm[claimed], return_index=True)
+    keep = np.zeros(claimed.shape[0], bool)
+    keep[first] = True
+    warm[claimed[~keep]] = -1
+    match_col = np.full(m, -1, np.int64)
+    rows = np.flatnonzero(warm >= 0)
+    match_col[warm[rows]] = rows
+    return warm, match_col
+
+
 def hopcroft_karp(prob: ELLProblem, use_native: bool = True,
-                  device_seed: Optional[bool] = None):
+                  device_seed: Optional[bool] = None,
+                  init_match: Optional[Tuple[np.ndarray, np.ndarray]] = None):
     """Maximum matching of an ELLProblem's sparsity pattern.
 
     ``device_seed``: run the TPU greedy maximal-matching bulk pass first
@@ -173,12 +210,16 @@ def hopcroft_karp(prob: ELLProblem, use_native: bool = True,
     50.3 s steady-state -- this environment's ~30 MB/s H2D tunnel and
     ~55 ms/MB readback cost more than the serial greedy seed saves; the
     device path stays available for deployments with real interconnects
-    or patterns already resident on device)."""
+    or patterns already resident on device).
+
+    ``init_match``: explicit warm seed (match_row, match_col) -- e.g. from
+    ``sanitize_matching`` on a previous solve's matching; overrides
+    ``device_seed``."""
     indptr, indices = _ell_to_csr(prob)
     if device_seed is None:
         device_seed = False
-    init = None
-    if device_seed and prob.n > 0:
+    init = init_match
+    if init is None and device_seed and prob.n > 0:
         try:
             from sslap_tpu import feasibility_device as _fd
             init = _fd.greedy_matching(prob)

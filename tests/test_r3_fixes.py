@@ -102,3 +102,45 @@ def test_candidate_fast_bid_tie_breaks_lowest_column():
         jnp.asarray(10.0, dtype), kappa, dtype, 16, False)
     assert int(tgt[0]) == 3
     assert not bool(uncert[0])
+
+
+def test_hopcroft_warm_seed_matches_cold():
+    # VERDICT round-2 task 8: warm-seeded HK (tracking workloads).  A
+    # stale matching -- some edges vanished, one column claimed twice --
+    # must be sanitized into a valid seed and still yield a maximum
+    # matching of the same size as the cold solve.
+    from sslap_tpu import hopcroft_solve
+    rng = np.random.default_rng(42)
+    n = 300
+    loc, val, _ = random_sparse_instance(rng, n, n, 6)
+    cold = hopcroft_solve(loc=loc, val=val, shape=(n, n))
+    size_cold = int((cold >= 0).sum())
+
+    stale = cold.copy()
+    stale[0] = n - 1 if cold[0] != n - 1 else n - 2   # likely absent edge
+    stale[1] = stale[2]                               # duplicate column
+    warm = hopcroft_solve(loc=loc, val=val, shape=(n, n), warm=stale)
+    assert int((warm >= 0).sum()) == size_cold
+    # result is a real matching over existing edges
+    got = warm[warm >= 0]
+    assert len(np.unique(got)) == len(got)
+    edge_set = {(int(r), int(c)) for r, c in loc}
+    for r, c in enumerate(warm):
+        if c >= 0:
+            assert (r, int(c)) in edge_set
+
+
+def test_sanitize_matching_drops_stale_and_duplicates():
+    from sslap_tpu import ingest
+    from sslap_tpu.feasibility import sanitize_matching
+    # pattern: row0 -> {0,1}, row1 -> {1}, row2 -> {2}
+    loc = np.array([[0, 0], [0, 1], [1, 1], [2, 2]])
+    val = np.ones(4)
+    prob = ingest.from_coo(loc, val, shape=(3, 4))
+    # row0 claims col 3 (absent edge), rows 1+2 both claim col 1 (dup;
+    # row2's claim is also an absent edge so it is dropped twice over)
+    mr, mc = sanitize_matching(prob, np.array([3, 1, 1]))
+    assert mr.tolist() == [-1, 1, -1]
+    assert mc.tolist() == [-1, 1, -1, -1]
+    with pytest.raises(ValueError, match="length"):
+        sanitize_matching(prob, np.array([0, 1]))
