@@ -72,15 +72,21 @@ def kernel_tier_probe():
     round-1 item 3): the probe compiles the bid kernel and checks it
     against the XLA path on a small instance."""
     from sslap_tpu.ops import pallas_bid_available, resolve_bid_fn
+    from sslap_tpu.ops import bid as _bid
     ok = pallas_bid_available()
-    log(f"pallas bid kernel probe: {'PASS (matches XLA path)' if ok else 'unavailable on this backend'}; "
+    msg = "PASS (A/B matches XLA path on this chip)" if ok else \
+        f"unavailable on this backend [{_bid._last_probe_error[:160]}]"
+    log(f"pallas bid kernel probe: {msg}; "
         f"dispatch {'ACTIVE' if resolve_bid_fn() is not None else 'off'} "
         f"(opt-in via SSLAP_TPU_USE_PALLAS=1)")
 
 
 def main():
-    smoke_device_exact()
+    # Probe first: it runs in its own subprocess (ops/bid.py round-3
+    # isolation) and must finish before this process opens its device
+    # connection -- two live TPU clients conflict on this tunnel.
     kernel_tier_probe()
+    smoke_device_exact()
     small = os.environ.get("BENCH_SMALL")
     n = 50_000 if small else 1_000_000
     rr, cc, vv = make_instance(n, n, 9, seed=0)

@@ -11,12 +11,17 @@ XLA path).
 Production status (honest, measured -- PERF.md): the bid kernel IS wired
 into the Jacobi driver via ``resolve_bid_fn()`` (auction.solve_ell's
 ``bid_fn`` hook) but ships OPT-IN (``SSLAP_TPU_USE_PALLAS=1``) behind the
-``pallas_bid_available()`` compile-and-match probe, because this stack's
-Mosaic has no vectorized random gather: the kernel's scalar VMEM gather
-(~350 ns/elem) loses to XLA's ~7 ns HBM gather, so XLA stays the default.
-On a toolchain where the probe passes and the gather vectorizes, flipping
-the env var moves the hot loop into the kernel with no code changes --
-re-probe per toolchain update.
+``pallas_bid_available()`` compile-and-match probe.  Round 3 replaced the
+scalar-VMEM gather (which Mosaic rejects outright) with a window-row-load
++ one-hot lane-select formulation that LOWERS on this stack (bid.py
+module doc); the probe now runs in a timeout-guarded subprocess because a
+rejected lowering once took the axon remote-compile tunnel down with the
+probing process.  XLA stays the production default: the kernel's
+per-element cost is one VMEM row load + row store + one-hot select,
+which cannot beat XLA's ~7 ns HBM scalar gather on this part.
+On a toolchain where the in-kernel gather beats XLA's, flipping the env
+var moves the hot loop into the kernel with no code changes -- re-probe
+per toolchain update.
 """
 
 import os
