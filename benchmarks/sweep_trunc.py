@@ -41,7 +41,9 @@ def main():
     prob = ingest.from_coo(loc, vv, shape=(n, n))
 
     cache = {}
-    for trunc in (256, 512, 1024, 2048, 4096):
+    truncs = (64, 128, 192, 256, 512) \
+        if "--down" in sys.argv else (256, 512, 1024, 2048, 4096)
+    for trunc in truncs:
         # warm (compile for this trunc is shared: trunc is traced)
         sol, prices, meta = H.solve_hybrid(prob, trunc=trunc,
                                            device_cache=cache)

@@ -78,6 +78,16 @@ def main():
     print("checkpoint round-trip OK:", np.array_equal(restored, prices),
           "| meta:", meta["extra"])
 
+    # Feasibility checks warm-start the same way: seed Hopcroft-Karp with
+    # the previous frame's matching (stale edges are sanitized away).
+    # Measured at 10M rows: 2.6 s warm vs 64 s cold (PERF.md round 3).
+    from sslap_tpu import hopcroft_solve
+    loc, val = frame_costs(rng, n, base_pos)
+    cold_match = hopcroft_solve(loc=loc, shape=(n, n))
+    loc2, _ = frame_costs(rng, n, base_pos)
+    warm_match = hopcroft_solve(loc=loc2, shape=(n, n), warm=cold_match)
+    print("warm HK matching size:", int((warm_match >= 0).sum()), "/", n)
+
 
 if __name__ == "__main__":
     main()
