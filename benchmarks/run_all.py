@@ -238,8 +238,21 @@ def config5(small=False):
                                        mesh=mesh, cardinality_check=False)
     dt = time.perf_counter() - t0
     meta = res["meta"]
+    # A/B: depth-1 pipelined full-width rounds (stale bids + acceptance
+    # guards).  On the CPU sim mesh the collectives are synchronous so no
+    # wall-clock win is expected here; the row documents the functional
+    # path + its round-count cost for real ICI/DCN meshes.
+    t0 = time.perf_counter()
+    res_ov = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, m),
+                                          mesh=mesh, overlap=True,
+                                          cardinality_check=False)
+    dt_ov = time.perf_counter() - t0
+    ov = {"time": dt_ov, "rounds": res_ov["meta"]["its"],
+          "soln_found": res_ov["meta"]["soln_found"],
+          "obj_matches": res_ov["meta"]["obj"] == meta["obj"]}
     return {"config": 5, "n": n, "devices": n_dev, "time": dt,
             "warm_time": warm,
+            "overlap_ab": ov,
             "rounds": meta["its"],
             "host_bids": meta["host_bids"],
             "soln_found": meta["soln_found"],

@@ -96,7 +96,7 @@ def _from_bits(x, dtype):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis_name", "R", "W", "n_glob", "tiers",
-                     "pairs_max"))
+                     "pairs_max", "overlap"))
 def _solve_sharded_tiered_jit(
     data,                  # [L, R*W] packed lines (or [n_pad, W] when R=1)
     nvalid,                # [n_pad] int32
@@ -110,6 +110,7 @@ def _solve_sharded_tiered_jit(
     n_glob: int,
     tiers: Tuple[int, ...],
     pairs_max: int = 8192,
+    overlap: bool = False,
 ):
     """shard_map'd eps-scaled tiered solve.  Returns (SolveResult with
     sigma over the PADDED row axis, tier_rounds[2 + len(tiers)]):
@@ -287,21 +288,105 @@ def _solve_sharded_tiered_jit(
 
             # Full-width regime down to the ladder's top capacity.
             top_floor = tiers[0] if n_tiers else 0
-
-            def cond_top(c):
-                _, _, _, act, rnd = c
-                return (act > jnp.maximum(jnp.int32(top_floor), trunc__)) \
-                    & (rnd < max_iter__)
-
-            def body_top(c):
-                prices, owner, sigma, act, rnd = c
-                prices, owner, sigma, nw, ne = full_round(
-                    prices, owner, sigma, eps, phase_start=False)
-                return (prices, owner, sigma, act - nw + ne, rnd + 1)
+            gate = jnp.maximum(jnp.int32(top_floor), trunc__)
 
             rb = rounds
-            prices, owner, sigma, active, rounds = lax.while_loop(
-                cond_top, body_top, (prices, owner, sigma, active, rounds))
+            if not overlap:
+                def cond_top(c):
+                    _, _, _, act, rnd = c
+                    return (act > gate) & (rnd < max_iter__)
+
+                def body_top(c):
+                    prices, owner, sigma, act, rnd = c
+                    prices, owner, sigma, nw, ne = full_round(
+                        prices, owner, sigma, eps, phase_start=False)
+                    return (prices, owner, sigma, act - nw + ne, rnd + 1)
+
+                prices, owner, sigma, active, rounds = lax.while_loop(
+                    cond_top, body_top,
+                    (prices, owner, sigma, active, rounds))
+            else:
+                # Depth-1 pipelined full-width rounds (overlap.py design,
+                # composed with the tiered engine): each body bids against
+                # its ENTRY prices while combining the PREVIOUS round's
+                # pending (best, winner) -- the two are independent, so
+                # XLA's latency-hiding scheduler runs the 2x[m] all-reduce
+                # under the O(n_local*K) bid compute instead of after it.
+                # Stale bids commit behind an eps-progress acceptance
+                # guard; rejected bidders re-bid with fresh prices.  The
+                # NARROW compact tiers below deliberately stay
+                # synchronous: their eviction chains are data-serial (a
+                # bid-cycle spans 2 pipelined bodies ~ 2x collective
+                # latency vs latency+tiny-compute synchronous), so
+                # pipelining the latency-bound regime would slow it down.
+                def commit_guarded(best_g, winner_g, prices, owner, sigma):
+                    accept = (winner_g != jnp.int32(_I32_MAX)) \
+                        & (best_g >= prices + eps)
+                    new_prices = jnp.where(accept, best_g, prices)
+                    col_idx = jnp.arange(m, dtype=jnp.int32)
+
+                    def loc_idx(global_rows, mask):
+                        loc = global_rows - row_offset
+                        ok = mask & (loc >= 0) & (loc < n_local)
+                        return jnp.where(ok, loc, jnp.int32(n_local))
+
+                    ev_idx = loc_idx(owner, accept & (owner >= 0))
+                    sigma = sigma.at[ev_idx].set(-1, mode="drop")
+                    win_idx = loc_idx(winner_g, accept)
+                    sigma = sigma.at[win_idx].set(col_idx, mode="drop")
+                    new_owner = jnp.where(accept, winner_g, owner)
+                    nw = jnp.sum(accept).astype(jnp.int32)
+                    ne = jnp.sum(accept & (owner >= 0)).astype(jnp.int32)
+                    return new_prices, new_owner, sigma, nw, ne
+
+                def combine_pending(pb, pw):
+                    best_g = lax.pmax(pb, axis_name)
+                    cand = jnp.where(pb == best_g, pw,
+                                     jnp.int32(_I32_MAX))
+                    return best_g, lax.pmin(cand, axis_name)
+
+                def cond_ov(c):
+                    act, rnd = c[6], c[7]
+                    return (act > gate) & (rnd < max_iter__)
+
+                def body_ov(c):
+                    prices, owner, sigma, pending, pb, pw, act, rnd = c
+                    # (1) bid against entry prices; rows with a bid in
+                    # flight sit this round out.
+                    w = valsL - prices[colsL]
+                    onehot, v1, v2 = top2_bid(w, nvL)
+                    a_star = jnp.sum(jnp.where(onehot, valsL,
+                                               jnp.zeros_like(valsL)),
+                                     axis=1)
+                    jstar = jnp.sum(jnp.where(onehot, colsL, 0),
+                                    axis=1).astype(jnp.int32)
+                    bid = a_star - v2 + eps
+                    bidding = (sigma < 0) & (nvL > 0) \
+                        & jnp.logical_not(pending)
+                    tgt = jnp.where(bidding, jstar, jnp.int32(m))
+                    best_l, winner_l = _auction.resolve_bids(
+                        tgt, bid, m, gids)
+                    # (2) combine + (3) guarded-commit the previous
+                    # round's pending bids -- independent of (1).
+                    best_g, winner_g = combine_pending(pb, pw)
+                    prices, owner, sigma, nw, ne = commit_guarded(
+                        best_g, winner_g, prices, owner, sigma)
+                    return (prices, owner, sigma, tgt < m, best_l,
+                            winner_l, act - nw + ne, rnd + 1)
+
+                pending0 = jnp.zeros((n_local,), bool)
+                pb0 = jnp.full((m,), neg, dtype)
+                pw0 = jnp.full((m,), _I32_MAX, jnp.int32)
+                (prices, owner, sigma, _, pb, pw, active, rounds) = \
+                    lax.while_loop(
+                        cond_ov, body_ov,
+                        (prices, owner, sigma, pending0, pb0, pw0,
+                         active, rounds))
+                # Drain the in-flight combine so the ladder starts clean.
+                best_g, winner_g = combine_pending(pb, pw)
+                prices, owner, sigma, nw, ne = commit_guarded(
+                    best_g, winner_g, prices, owner, sigma)
+                active = active - nw + ne
             tier_rounds = tier_rounds.at[1].add(rounds - rb)
 
             if n_tiers:
@@ -437,9 +522,17 @@ def auction_solve_sharded_hybrid(
     warm_prices=None,
     tiers: Optional[Tuple[int, ...]] = None,
     pairs_max: int = 8192,
+    overlap: bool = False,
 ):
     """Sharded hybrid solve: row-sharded tiered-compaction device pass with
     truncated phases + ONE host Gauss-Seidel tail at eps_min.
+
+    ``overlap=True`` pipelines the FULL-WIDTH rounds one deep (stale-price
+    bids + eps-progress acceptance guards, the overlap.py design): the
+    2x[m] all-reduce of round k-1 rides under round k's bid compute.  The
+    narrow compact-exchange tiers stay synchronous on purpose -- their
+    eviction chains are data-serial, so a pipelined bid-cycle would pay
+    ~2x the collective latency the synchronous round pays once.
 
     Same result contract as api.auction_solve.  Square problems only (the
     rectangular implicit-dummy path stays on parallel/sharded.py).  The
@@ -519,7 +612,7 @@ def auction_solve_sharded_hybrid(
     res, tier_rounds = _solve_sharded_tiered_jit(
         data_arr, nvalid_pad, p0, e0, e_min, theta_v, max_iter, bigp,
         trunc_v, mesh=mesh, axis_name=axis_name, R=R, W=W, n_glob=n_pad,
-        tiers=tiers, pairs_max=pairs_max)
+        tiers=tiers, pairs_max=pairs_max, overlap=overlap)
 
     prices = np.asarray(res.prices)
     sigma = np.asarray(res.sigma)[:n].copy()
@@ -554,6 +647,7 @@ def auction_solve_sharded_hybrid(
         "tier_rounds": np.asarray(tier_rounds).tolist(),
         "n_shards": int(D),
         "mode": "sharded_hybrid",
+        "overlap": bool(overlap),
     }
     meta.update(comm_bytes_model(tier_rounds, tiers, m, D,
                                  n_local=n_pad // D))

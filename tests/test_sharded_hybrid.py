@@ -156,3 +156,34 @@ def test_max_problem():
                                       problem="max", mesh=_mesh(), trunc=8,
                                       cardinality_check=False)
     assert sh["meta"]["obj"] == single["meta"]["obj"]
+
+
+def test_overlap_objective_parity_int():
+    # Pipelined full-width rounds (stale bids + acceptance guards) change
+    # the round dynamics but not the optimum: integer costs solved to
+    # eps_min < 1/(n+1) must reach the same objective.
+    n = 512
+    rng = np.random.default_rng(31)
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.03, integer=True)
+    single = auction_solve(loc=loc, val=val, shape=(n, n), mode="device",
+                           cardinality_check=False)
+    sh = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                      mesh=_mesh(), trunc=0, overlap=True,
+                                      cardinality_check=False)
+    assert sh["meta"]["soln_found"]
+    assert sh["meta"]["overlap"] is True
+    assert sh["meta"]["obj"] == single["meta"]["obj"]
+    # full-width rounds actually ran pipelined
+    assert sh["meta"]["tier_rounds"][1] > 0, sh["meta"]["tier_rounds"]
+
+
+def test_overlap_with_gs_tail_and_floats():
+    n = 256
+    rng = np.random.default_rng(37)
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.06, integer=False)
+    sh = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                      mesh=_mesh(), trunc=32, overlap=True,
+                                      cardinality_check=False)
+    assert sh["meta"]["soln_found"]
+    oracle = scipy_sparse_objective(loc, val, n, n)
+    assert abs(sh["meta"]["obj"] - oracle) <= 1.5
