@@ -81,12 +81,49 @@ def kernel_tier_probe():
         f"(opt-in via SSLAP_TPU_USE_PALLAS=1)")
 
 
+def device_alive(wait_s: float = None) -> bool:
+    """Probe the TPU in a SUBPROCESS with a timeout: this environment's
+    tunneled device can die mid-session (observed round 3: relay process
+    exited; every device op then hangs forever, not raising).  A hung
+    bench leaves the driver with no JSON line at all, so gate every
+    device-touching path on this probe and fall back to an honest
+    CPU-only report.  Retries until ``wait_s`` (env BENCH_DEVICE_WAIT_S,
+    default 300 s) in case the tunnel is briefly re-establishing."""
+    import subprocess
+    if wait_s is None:
+        wait_s = float(os.environ.get("BENCH_DEVICE_WAIT_S", "300"))
+    code = ("import jax, jax.numpy as jnp\n"
+            "x = jnp.ones((64, 64))\n"
+            "assert float((x @ x).sum()) == 64 * 64 * 64\n"
+            "print('ok')\n")
+    deadline = time.monotonic() + wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=90)
+            if r.returncode == 0 and b"ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            log(f"device probe: TPU unreachable after {attempt} attempts "
+                f"over {wait_s:.0f}s -- falling back to CPU-only report")
+            return False
+        log(f"device probe attempt {attempt} failed; retrying "
+            f"({deadline - time.monotonic():.0f}s left)")
+        time.sleep(min(60, max(5, deadline - time.monotonic())))
+
+
 def main():
+    alive = device_alive()
     # Probe first: it runs in its own subprocess (ops/bid.py round-3
     # isolation) and must finish before this process opens its device
     # connection -- two live TPU clients conflict on this tunnel.
-    kernel_tier_probe()
-    smoke_device_exact()
+    if alive:
+        kernel_tier_probe()
+        smoke_device_exact()
     small = os.environ.get("BENCH_SMALL")
     n = 50_000 if small else 1_000_000
     rr, cc, vv = make_instance(n, n, 9, seed=0)
@@ -115,6 +152,23 @@ def main():
         f"median {cpu_t:.2f}s band [{min(cpu_times):.2f}, "
         f"{max(cpu_times):.2f}]s bids={res_cpu['meta']['host_bids']} "
         f"obj={res_cpu['meta']['obj']:.1f}")
+
+    if not alive:
+        # The reported path IS the baseline-class CPU solver; vs_baseline
+        # 1.0 by construction, flagged so the record can't be read as a
+        # TPU result.
+        print(json.dumps({
+            "metric": "time_to_optimal_1Mx1M_sparse_lap_nnz_per_s",
+            "value": round(nnz / cpu_t, 1),
+            "unit": "nnz/s",
+            "vs_baseline": 1.0,
+            "device_unavailable": True,
+            "cpu_steady_s": round(cpu_t, 2),
+            "cpu_steady_band": [round(min(cpu_times), 2),
+                                round(max(cpu_times), 2)],
+            "note": "TPU tunnel dead for this run; CPU reference only",
+        }))
+        return
 
     # Hybrid TPU path: construct-once solver (ingest + device transfer paid
     # once -- the production serving pattern), warm the compile, then time
