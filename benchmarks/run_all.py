@@ -223,8 +223,7 @@ def config5(small=False):
     scale: per-round cost tracks the active set on both the compute and
     the wire."""
     import jax
-    from sslap_tpu.parallel import (auction_solve_sharded_hybrid,
-                                    make_mesh, measure_round_breakdown)
+    from sslap_tpu.parallel import auction_solve_sharded_hybrid, make_mesh
     n = m = 20_000 if small else 200_000
     loc, val = make_sparse(n, m, 10, seed=5)
     n_dev = len(jax.devices())
@@ -429,15 +428,22 @@ def scale_smoke(small=False, trunc=2048, feasibility_check=True):
     finite = np.isfinite(w)
     ulp = float(np.spacing(np.float32(np.abs(w[finite]).max()))) \
         if finite.any() else 0.0
-    viol = int((cur < v1 - np.float32(e_min) - np.float32(8 * ulp)).sum())
+    # Unassigned rows (sigma = -1) would argmax to slot 0 and fake both the
+    # certificate and the objective: count only assigned rows (an
+    # incomplete solve already reports soln_found=False + unassigned).
+    assigned = sigma >= 0
+    viol = int(((cur < v1 - np.float32(e_min) - np.float32(8 * ulp))
+                & assigned).sum())
     t_cert = time.perf_counter() - t0
 
+    soln_found = unassigned == 0 and bids >= 0
     obj = float(np.take_along_axis(
         vals_np, np.argmax(np.asarray(prob.cols) == sigma[:, None],
-                           axis=1)[:, None], axis=1)[:, 0].sum())
+                           axis=1)[:, None], axis=1)[:, 0].sum()) \
+        if soln_found else None
     return {"config": "scale", "n": n, "nnz": len(val),
-            "soln_found": unassigned == 0 and bids >= 0,
-            "obj": round(obj, 1),
+            "soln_found": soln_found,
+            "obj": round(obj, 1) if obj is not None else None,
             "eps_cs_violations": viol,
             "gen_s": round(t_gen, 1), "ingest_s": round(t_ing, 1),
             "hk_feasible": feasible, "hk_s": (round(t_hk, 1)

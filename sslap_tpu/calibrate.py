@@ -131,10 +131,13 @@ def crossover(force: bool = False) -> int:
     in which case the measured value is computed once and cached on disk.
     """
     global _cached
+    enabled = force or os.environ.get("SSLAP_TPU_CALIBRATE") == "1"
+    if not enabled:
+        # Do NOT latch the default into _cached: the user may set
+        # SSLAP_TPU_CALIBRATE=1 later in the same process (notebook use)
+        # and must still get the measured routing then.
+        return DEFAULT_CROSSOVER
     if _cached is not None and not force:
-        return _cached
-    if not force and os.environ.get("SSLAP_TPU_CALIBRATE") != "1":
-        _cached = DEFAULT_CROSSOVER
         return _cached
     key = _machine_key()
     path = _cache_path()

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from sslap_tpu import auction as _auction
-from sslap_tpu.auction import neg_sentinel, neg_sentinel_value
+from sslap_tpu.auction import neg_sentinel
 
 _I32_MAX = 2 ** 31 - 1
 
@@ -306,18 +306,14 @@ def compact_round(
                          (ids[None, :] < ids[:, None])))
         won = bidding & jnp.logical_not(jnp.any(beats, axis=1))
     else:
-        # Scatter resolve: per-column max bid, ties -> lowest row id.
-        best = jnp.full((m,), neg, dtype).at[tgt].max(bid, mode="drop")
-        # fill-mode gathers (tgt = m -> sentinel) instead of concatenating
-        # a sentinel slot onto [m]: the concat was an O(m) copy per round,
-        # ~2x per round at every scatter-resolve tier.
-        is_best = bid == best.at[tgt].get(
-            mode="fill", fill_value=neg_sentinel_value(dtype))
-        cand = jnp.where(is_best, ids, jnp.int32(_I32_MAX))
-        winner = (jnp.full((m,), _I32_MAX, jnp.int32)
-                  .at[tgt].min(cand, mode="drop"))
-        won = is_best & (winner.at[tgt].get(mode="fill",
-                                            fill_value=_I32_MAX) == ids)
+        # Scatter resolve: the shared deterministic tie-break reduction
+        # (max bid then lowest row id) -- ONE implementation, auction.py's
+        # resolve_bids.  A row won iff it is its column's winner; the
+        # fill-mode gather (tgt = m -> _I32_MAX, never a row id) avoids
+        # concatenating a sentinel slot onto [m] (an O(m) copy per round).
+        _, winner = _auction.resolve_bids(tgt, bid, m, ids)
+        won = winner.at[tgt].get(mode="fill",
+                                 fill_value=_I32_MAX) == ids
 
     # Commit by scatter only (won columns are unique: one winner each).
     tgt_won = jnp.where(won, tgt, jnp.int32(m))

@@ -174,15 +174,18 @@ def bid_topk_pallas(cols, vals_t, valid, nvalid, prices, sigma, eps, bigp,
 
 
 def _probe_inproc() -> bool:
-    """The actual compile-and-match probe (runs in THIS process).  Rank-1
-    output blocks must be 128-multiples on Mosaic, so the probe uses
-    block=128 (the round-2 probe's block=32 failed the lowering for a
-    reason that had nothing to do with the kernel body)."""
+    """The actual compile-and-match probe (runs in THIS process).  It
+    probes at the PRODUCTION block size (_DEF_BLOCK): Mosaic lowering
+    outcomes depend on the block shape (the round-2 probe's block=32
+    failed the lowering for a reason that had nothing to do with the
+    kernel body; rank-1 blocks must be 128-multiples), so validating one
+    block size and dispatching another would let a passing probe precede
+    a crashing production solve."""
     global _last_probe_error
     try:
         from sslap_tpu import auction as _a
         rng = np.random.default_rng(0)
-        n, m, K = 256, 300, 4
+        n, m, K = 2 * _DEF_BLOCK, 300, 4
         cols = jnp.asarray(rng.integers(0, m, (n, K), dtype=np.int32))
         vals = jnp.asarray(rng.random((n, K), np.float32) * 10)
         valid = jnp.asarray(rng.random((n, K)) < 0.8)
@@ -193,7 +196,7 @@ def _probe_inproc() -> bool:
         bigp = jnp.float32(11.0)
         t1, b1 = jax.jit(
             lambda: bid_topk_pallas(cols, vals, valid, nvalid, prices,
-                                    sigma, eps, bigp, block=128))()
+                                    sigma, eps, bigp))()
         t0, b0 = _a.compute_bids(cols, vals, valid, nvalid, prices, sigma,
                                  eps, bigp)
         mask = np.asarray(t0) < m

@@ -55,7 +55,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from sslap_tpu import auction as _auction
-from sslap_tpu.auction import neg_sentinel, neg_sentinel_value
+from sslap_tpu.auction import neg_sentinel
 from sslap_tpu import compact as _compact
 from sslap_tpu.compact import RowPack, fetch_rows, _unpack_rows
 from sslap_tpu.ingest import ELLProblem
@@ -233,15 +233,11 @@ def _solve_sharded_tiered_jit(
                                  (g_ids[None, :] < g_ids[:, None])))
                 won = bidding_g & jnp.logical_not(jnp.any(beats, axis=1))
             else:
-                best = (jnp.full((m,), neg, dtype)
-                        .at[g_tgt].max(g_bid, mode="drop"))
-                is_best = g_bid == best.at[g_tgt].get(
-                    mode="fill", fill_value=neg_sentinel_value(dtype))
-                cand = jnp.where(is_best, g_ids, jnp.int32(_I32_MAX))
-                winner = (jnp.full((m,), _I32_MAX, jnp.int32)
-                          .at[g_tgt].min(cand, mode="drop"))
-                won = is_best & (winner.at[g_tgt].get(
-                    mode="fill", fill_value=_I32_MAX) == g_ids)
+                # Shared deterministic tie-break reduction (auction.py's
+                # resolve_bids); won iff this row is its column's winner.
+                _, winner = _auction.resolve_bids(g_tgt, g_bid, m, g_ids)
+                won = winner.at[g_tgt].get(
+                    mode="fill", fill_value=_I32_MAX) == g_ids
 
             tgt_won = jnp.where(won, g_tgt, jnp.int32(m))
             prev_owner = jnp.where(won, owner.at[g_tgt].get(mode="clip"),
@@ -478,11 +474,15 @@ def _solve_sharded_tiered_jit(
 
 def comm_bytes_model(tier_rounds, tiers: Tuple[int, ...], m: int,
                      n_shards: int, elem_bytes: int = 4,
-                     n_local: Optional[int] = None) -> dict:
+                     n_local: Optional[int] = None,
+                     overlap: bool = False) -> dict:
     """Analytic per-tier collective-byte accounting from the round
     histogram: phase starts move 3x[m] (owner pmin + best pmax + winner
-    pmin), full-width rounds 2x[m], ladder tier-C rounds all-gather
-    3*D*min(C, n_local) triples (a shard's buffer caps at its row count).
+    pmin) -- except the FIRST phase's opening round, which runs without
+    the violator scan's owner pmin (2x[m]); full-width rounds 2x[m];
+    ladder tier-C rounds all-gather 3*D*min(C, n_local) triples (a
+    shard's buffer caps at its row count).  ``overlap=True`` adds each
+    phase's pipeline-drain combine (2x[m], outside the round counters).
     This is the VERDICT round-2 'collective bytes track the active set,
     not m' instrumentation."""
     tr = [int(x) for x in np.asarray(tier_rounds)]
@@ -490,16 +490,22 @@ def comm_bytes_model(tier_rounds, tiers: Tuple[int, ...], m: int,
     per_round = [3 * m * elem_bytes, 2 * m * elem_bytes] + \
         [3 * n_shards * cap(c) * elem_bytes for c in tiers]
     by_tier = [r * b for r, b in zip(tr, per_round)]
+    # tr[0] == number of phases (one phase-start round per phase).
+    adjust = -(m * elem_bytes if tr[0] >= 1 else 0)
+    if overlap:
+        adjust += tr[0] * 2 * m * elem_bytes
     return {
         "tier_capacities": [None, None, *tiers],
         "comm_bytes_per_round_by_tier": per_round,
         "comm_bytes_by_tier": by_tier,
-        "comm_bytes_total": int(sum(by_tier)),
+        "comm_bytes_adjustments": int(adjust),
+        "comm_bytes_total": int(sum(by_tier) + adjust),
         # What the SAME round count would move on the round-2 full-width
         # design: 2x[m] per round everywhere, plus the phase-start owner
-        # re-convergence [m] that any warm-started sharded design pays.
+        # re-convergence [m] that any warm-started sharded design pays
+        # (first phase excepted, as above).
         "comm_bytes_fullwidth_equiv": int(
-            (sum(tr) * 2 + tr[0]) * m * elem_bytes),
+            (sum(tr) * 2 + max(tr[0] - 1, 0)) * m * elem_bytes),
     }
 
 
@@ -614,7 +620,10 @@ def auction_solve_sharded_hybrid(
         trunc_v, mesh=mesh, axis_name=axis_name, R=R, W=W, n_glob=n_pad,
         tiers=tiers, pairs_max=pairs_max, overlap=overlap)
 
-    prices = np.asarray(res.prices)
+    # np.array (copy), NOT np.asarray: the GS tail writes prices in place
+    # through ctypes, and np.asarray would alias JAX's read-only cached
+    # value (hybrid.py makes the same copy for the same reason).
+    prices = np.array(res.prices)
     sigma = np.asarray(res.sigma)[:n].copy()
     dev_rounds = int(np.asarray(res.rounds))
     t_dev = time.perf_counter() - t_dev0
@@ -650,5 +659,5 @@ def auction_solve_sharded_hybrid(
         "overlap": bool(overlap),
     }
     meta.update(comm_bytes_model(tier_rounds, tiers, m, D,
-                                 n_local=n_pad // D))
+                                 n_local=n_pad // D, overlap=overlap))
     return _api.AuctionSolution(sol=sigma, meta=meta, prices=prices)

@@ -221,3 +221,48 @@ def test_rowpack_extreme_K_edges():
     res2 = auction_solve(M, mode="device")
     r, c = lsa(np.where(mask, M, 1e18))
     assert res2["meta"]["obj"] == int(M[r, c].sum())
+
+
+def test_scatter_resolve_branch_matches_all_pairs():
+    # pairs_resolve_max selects between the all-pairs resolve and the
+    # scatter resolve (shared resolve_bids reduction); both must produce
+    # the identical state transition.
+    prob, vals_t = _problem(seed=5)
+    n = prob.n
+    cols = jnp.asarray(prob.cols)
+    valid = jnp.asarray(prob.valid)
+    nvalid = jnp.asarray(prob.nvalid)
+    vals_m = C.mask_vals(vals_t, valid)
+    rowpack = C.build_rowpack(cols, vals_m, nvalid)
+    eps = jnp.float32(2.0)
+    bigp = jnp.float32(200.0)
+    prices = jnp.asarray(
+        np.random.default_rng(2).random(n).astype(np.float32))
+    owner = jnp.full((n,), -1, jnp.int32)
+    sigma = jnp.full((n,), -1, jnp.int32)
+    ids = jnp.where(nvalid > 0, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    out_pairs = C.compact_round(rowpack, prices, owner, sigma, ids, eps,
+                                bigp, pairs_resolve_max=n + 1)
+    out_scatter = C.compact_round(rowpack, prices, owner, sigma, ids, eps,
+                                  bigp, pairs_resolve_max=0)
+    for a, b in zip(out_pairs, out_scatter):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_exchange_scatter_branch_matches_all_pairs():
+    # Same A/B for the sharded compact exchange (pairs_max flows through
+    # auction_solve_sharded_hybrid): tiny pairs_max forces the scatter
+    # path in every ladder round; the solve must be identical.
+    from sslap_tpu.parallel import auction_solve_sharded_hybrid, make_mesh
+    n = 512
+    rng = np.random.default_rng(41)
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.03, integer=True)
+    mesh = make_mesh(devices=jax.devices())
+    a = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                     mesh=mesh, trunc=0,
+                                     cardinality_check=False)
+    b = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                     mesh=mesh, trunc=0, pairs_max=0,
+                                     cardinality_check=False)
+    np.testing.assert_array_equal(a["sol"], b["sol"])
+    assert a["meta"]["obj"] == b["meta"]["obj"]

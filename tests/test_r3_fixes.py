@@ -81,6 +81,15 @@ def test_calibrated_crossover(tmp_path, monkeypatch):
     # second call hits the disk cache (no remeasure): same value
     cal._cached = None
     assert cal.crossover(force=False) in (x, cal.DEFAULT_CROSSOVER)
+    # Env-unset calls must NOT latch the default into the process cache:
+    # setting SSLAP_TPU_CALIBRATE=1 later in the same process (notebook
+    # use) still has to reach the measured/disk-cached value.
+    cal._cached = None
+    monkeypatch.delenv("SSLAP_TPU_CALIBRATE", raising=False)
+    assert cal.crossover() == cal.DEFAULT_CROSSOVER
+    assert cal._cached is None
+    monkeypatch.setenv("SSLAP_TPU_CALIBRATE", "1")
+    assert cal.crossover() == x          # disk cache, not the latched default
 
 
 def test_candidate_fast_bid_tie_breaks_lowest_column():
