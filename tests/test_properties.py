@@ -98,3 +98,36 @@ def test_determinism_same_input_same_assignment():
     np.testing.assert_array_equal(a["sol"], b["sol"])
     assert a["meta"]["obj"] == b["meta"]["obj"]
     assert a["meta"]["its"] == b["meta"]["its"]
+
+
+def test_eps_cs_invariant_sharded_overlap():
+    """The overlap acceptance guard's correctness claim, checked directly:
+    the final assignment of the pipelined sharded hybrid satisfies eps-CS
+    at eps_min (stale accepted bids must not have broken the invariant)."""
+    import jax
+    from sslap_tpu.parallel import auction_solve_sharded_hybrid, make_mesh
+    rng = np.random.default_rng(43)
+    n = 256
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.06, integer=True)
+    res = auction_solve_sharded_hybrid(
+        loc=loc, val=val, shape=(n, n),
+        mesh=make_mesh(devices=jax.devices()), trunc=0, overlap=True,
+        cardinality_check=False)
+    assert res["meta"]["soln_found"]
+    prob = ingest.from_coo(loc, val, shape=(n, n))
+    tr = _auction.make_transform("min", n, np.asarray(val).dtype,
+                                 float(np.abs(val).max()),
+                                 int_exact=prob.int_exact)
+    vals_t = np.asarray(tr.apply(prob.vals)).astype(np.int64)
+    cols = np.asarray(prob.cols)
+    valid = np.asarray(prob.valid)
+    p = np.asarray(res["prices"]).astype(np.int64)
+    sol = res["sol"]
+    eps_t = max(int(round(res["meta"]["final_eps"] * tr.scale)), 1)
+    for i in range(n):
+        if not valid[i].any():
+            continue
+        profits = vals_t[i][valid[i]] - p[cols[i][valid[i]]]
+        mine = profits[cols[i][valid[i]] == sol[i]]
+        assert mine.size == 1, f"row {i} assigned outside its edges"
+        assert mine[0] >= profits.max() - eps_t, f"eps-CS broken at row {i}"
