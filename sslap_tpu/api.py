@@ -55,6 +55,13 @@ class AuctionSolution(dict):
 
 def _ingest_any(mat=None, loc=None, val=None, shape=None, dtype=None,
                 pad_to=None) -> ELLProblem:
+    if isinstance(mat, ELLProblem):
+        # Already-ingested problem passes through unchanged (AuctionSolver
+        # hands its problem_spec to the parallel entry points this way --
+        # no COO round-trip, no second O(nnz) ELL build at capacity scale).
+        if loc is not None or val is not None:
+            raise ValueError("pass either mat= or (loc=, val=), not both")
+        return mat
     if mat is not None:
         if loc is not None or val is not None:
             raise ValueError("pass either mat= or (loc=, val=), not both")
@@ -241,9 +248,9 @@ class AuctionSolver:
             fn = {"sharded": _par.auction_solve_sharded,
                   "overlapped": _par.auction_solve_overlapped,
                   "sharded_hybrid": _par.auction_solve_sharded_hybrid}[mode]
-            loc, val = _ingest.to_coo(self.problem_spec)
-            res = fn(loc=loc, val=val,
-                     shape=(self.problem_spec.n, self.problem_spec.m),
+            # Hand over the already-built ELLProblem (dtype applied at
+            # construction): no COO round-trip, no second O(nnz) ingest.
+            res = fn(self.problem_spec,
                      problem=self.problem,
                      eps_start=self.eps_start, eps_min=self.eps_min,
                      theta=self.theta, max_iter=self.max_iter,
@@ -280,7 +287,11 @@ class AuctionSolver:
                     warm_prices=warm_prices,
                     keep_assignment=self.keep_assignment)
             unassigned = hmeta["unassigned"] + n_empty
-            soln_found = unassigned == 0
+            # AND with the engine's own verdict: solve_hybrid also requires
+            # bids >= 0 (GS budget not exhausted) and eps_min reached --
+            # unassigned == 0 alone would report a truncated-at-higher-eps
+            # assignment as optimal.
+            soln_found = unassigned == 0 and hmeta.get("soln_found", True)
             self.prices = prices
             self.meta = dict(hmeta, unassigned=unassigned,
                              soln_found=soln_found,

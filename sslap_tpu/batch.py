@@ -126,14 +126,21 @@ def auction_solve_batched(
                             or prob.int_exact)
     if mode == "auto":
         from sslap_tpu import hybrid as _hybrid
-        mode = "cpu" if (_hybrid.native_available() and mesh is None)             else "device"
+        # float64/int_exact always resolves to cpu (the numpy gs_host
+        # fallback works without the native toolchain, mirroring
+        # api._resolve_mode) -- resolving to 'device' here would raise an
+        # error telling the user to pass the mode they already passed.
+        mode = "cpu" if ((_hybrid.native_available()
+                          or needs_host_precision) and mesh is None) \
+            else "device"
     if mode == "device" and needs_host_precision:
         # Mirrors api.AuctionSolver._resolve_mode: float64 / exact-large-int
         # batches cannot ride jit with x64 disabled (silent f32 downcast
         # would corrupt large integer costs).
         raise ValueError(
             "float64 / exact-large-integer batched costs are solved on the "
-            "native CPU path; use mode='cpu' or 'auto' (no fast f64 on TPU)")
+            "host path: use mode='cpu' (or 'auto', without mesh=) -- "
+            "there is no fast f64 on TPU")
     if mode == "cpu":
         from sslap_tpu import hybrid as _hybrid
         sols = np.full((B, prob.n), -1, np.int32)

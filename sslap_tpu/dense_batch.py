@@ -262,12 +262,13 @@ def solve_batched_dense_hybrid(
 
     e_min_h = np.asarray(e_min, dtype)
     bigp_h = np.asarray(bigp, dtype)
-    for lo, hi, (prices_d, sigma_d, rounds_d, phases_d, _) in pending:
+    for lo, hi, (prices_d, sigma_d, rounds_d, phases_d, eps_d) in pending:
         td0 = time.perf_counter()
         prices_h = np.array(prices_d)       # blocks on THIS chunk only
         sigma_h = np.array(sigma_d)
         rounds_h = np.array(rounds_d)
         phases_h = np.array(phases_d)
+        eps_h = np.array(eps_d)
         dev_s += time.perf_counter() - td0
 
         tg0 = time.perf_counter()
@@ -286,7 +287,11 @@ def solve_batched_dense_hybrid(
                                0, 100 * n + 1_000_000)
             unassigned = int(((sigma_b < 0) & (counts[b] > 0)).sum())
             unassigned += int((nvalid_all[b] == 0).sum())
-            soln_found = unassigned == 0 and bids >= 0
+            # Like hybrid._finish_square_fast_path: a lane that exited on
+            # max_iter at eps > eps_min is NOT eps_min-optimal even if the
+            # GS tail completed the assignment.
+            eps_reached = bool(eps_h[i] <= e_min_h)
+            soln_found = unassigned == 0 and bids >= 0 and eps_reached
             sols[b] = sigma_b
             metas.append({
                 "obj": None,
@@ -294,7 +299,8 @@ def solve_batched_dense_hybrid(
                 "phases": int(phases_h[i]),
                 "host_bids": max(int(bids), 0),
                 "soln_found": soln_found,
-                "final_eps": float(e_min) / tr.scale,
+                "final_eps": (float(e_min) if eps_reached
+                              else float(eps_h[i])) / tr.scale,
                 "unassigned": unassigned,
                 "mode": "dense-hybrid",
             })

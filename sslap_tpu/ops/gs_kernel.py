@@ -92,17 +92,24 @@ def _gs_kernel(counts_ref,           # SMEM i32 [2]: qcount, max_bids
         # dynamic_slice on materialized vectors); ascending k keeps the
         # FIRST max, which is the lowest column index (ELL columns are
         # sorted) -- the documented deterministic tie-break, identical to
-        # the C++ GS.
+        # the C++ GS.  Padded slots (vals <= -bigp; real transformed vals
+        # are always > -bigp since bigp = range + 1) are pinned to ``neg``
+        # BEFORE the price subtract: a pad's raw w = pad - price lands
+        # above neg * 0.5, which silently disabled the single-valid-entry
+        # v2 substitution below for every K >= 2 row.
+        neg = jnp.float32(-3e38)
+
         def scan(k, st):
             v1, v2, kb = st
-            w = vbuf[slot, k] - prices_io[cbuf[slot, k]]
+            vk = vbuf[slot, k]
+            w = jnp.where(vk > -bigp,
+                          vk - prices_io[cbuf[slot, k]], neg)
             better1 = w > v1
             v2n = jnp.where(better1, v1, jnp.maximum(v2, w))
             v1n = jnp.where(better1, w, v1)
             kbn = jnp.where(better1, k, kb)
             return v1n, v2n, kbn
 
-        neg = jnp.float32(-3e38)
         v1, v2, kb = lax.fori_loop(0, K, scan,
                                    (neg, neg, jnp.int32(0)))
         v2 = jnp.where(v2 > neg * 0.5, v2, v1 - bigp)

@@ -245,6 +245,12 @@ def auction_solve_overlapped(
     if prob.n != prob.m:
         raise ValueError("overlapped backend requires a square problem; "
                          "use parallel.auction_solve_sharded for n < m")
+    if np.asarray(prob.vals).dtype == np.float64:
+        # Includes int_exact: a silent f32 downcast on device would
+        # corrupt costs above 2**24 (see sharded.py).
+        raise ValueError("float64 costs ride the host CPU path "
+                         "(mode='cpu'); the overlapped backend is "
+                         "f32/int32")
     if cardinality_check and not _feas.is_feasible(prob):
         raise _api.InfeasibleError(
             "no perfect matching exists for this sparsity pattern")
@@ -294,6 +300,7 @@ def auction_solve_overlapped(
         "unassigned": unassigned,
         "time": t1 - t0,
         "n_shards": int(mesh.shape[axis_name]),
+        "mode": "overlapped",
         "overlap": True,
     }
     if instrument:

@@ -155,6 +155,12 @@ def auction_solve_sharded(
                             dtype=dtype)
     if prob.n == 0:
         raise ValueError("empty problem (no rows)")
+    if np.asarray(prob.vals).dtype == np.float64:
+        # Includes int_exact (integers too large for f32): jnp.asarray
+        # would silently downcast to f32 on device and corrupt costs
+        # above 2**24.  float64 rides the host CPU path (mode='cpu').
+        raise ValueError("float64 costs ride the host CPU path "
+                         "(mode='cpu'); the sharded backend is f32/int32")
     if cardinality_check and not _feas.is_feasible(prob):
         raise _api.InfeasibleError(
             "no perfect matching exists for this sparsity pattern")
@@ -217,6 +223,7 @@ def auction_solve_sharded(
         "unassigned": unassigned,
         "time": t1 - t0,
         "n_shards": int(mesh.shape[axis_name]),
+        "mode": "sharded",
     }
     if instrument:
         from sslap_tpu.parallel.scaling import measure_round_breakdown

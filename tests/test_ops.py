@@ -149,3 +149,54 @@ def test_resolve_bid_fn_dispatch(monkeypatch):
     assert ops.resolve_bid_fn() is ops.bid_topk_pallas
     monkeypatch.setattr(ops, "pallas_bid_available", lambda: False)
     assert ops.resolve_bid_fn() is None
+
+
+def test_gs_kernel_single_entry_rows_match_native_gs():
+    """Regression for the single-valid-entry rule (v2 = v1 - bigp): padded
+    slots' raw w values used to defeat the substitution for K >= 2, so
+    1-nnz rows bid a wrong amount.  Build a pattern that FORCES 1-nnz rows
+    alongside multi-nnz ones and cross-check device vs native GS."""
+    from sslap_tpu.hybrid import native_available
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    from sslap_tpu.native import auction_gs as gs_host
+    from sslap_tpu.ops.gs_kernel import gs_auction_device
+    from sslap_tpu import ingest as I
+    from sslap_tpu import hybrid as H
+
+    rng = np.random.default_rng(9)
+    n = m = 24
+    # rows 0..7: exactly one valid entry (the diagonal); rest: 4 entries
+    locs = [(i, i) for i in range(8)]
+    for i in range(8, n):
+        cols_i = {i} | set(rng.integers(0, m, 3).tolist())
+        locs += [(i, j) for j in cols_i]
+    loc = np.array(sorted(set(locs)))
+    val = rng.random(len(loc)).astype(np.float32) * 50 + 1
+    prob = I.from_coo(loc, val, shape=(n, m))
+    assert (np.asarray(prob.nvalid)[:8] == 1).all()
+    indptr, indices, data = H.ell_to_csr_transformed(prob, -1, 1)
+    bigp = float(data.max() - data.min()) + 1.0
+    eps = 2.0
+
+    prices_h = np.zeros(m, np.float32)
+    sigma_h = np.full(n, -1, np.int32)
+    owner_h = np.full(m, -1, np.int32)
+    bids_h = gs_host(indptr, indices, data, prices_h, sigma_h, owner_h,
+                     np.float32(eps), np.float32(bigp), 0, 10 ** 7)
+
+    cols = np.asarray(prob.cols)
+    vals_t = np.where(np.asarray(prob.valid),
+                      np.asarray(prob.vals) * -1.0,
+                      -2.0 * bigp).astype(np.float32)
+    cap = n + 1
+    queue = np.full(cap, -1, np.int32)
+    queue[:n] = np.arange(n)
+    prices_d, owner_d, _, bids_d, left = gs_auction_device(
+        jnp.asarray(cols), jnp.asarray(vals_t), jnp.asarray(queue), n,
+        jnp.zeros(m, jnp.float32), jnp.full((m,), -1, jnp.int32),
+        eps, bigp, 10 ** 7, interpret=True)
+    assert int(left) == 0
+    assert int(bids_d) == int(bids_h)
+    np.testing.assert_array_equal(np.asarray(owner_d), owner_h)
+    np.testing.assert_allclose(np.asarray(prices_d), prices_h, rtol=1e-6)

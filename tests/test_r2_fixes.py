@@ -62,8 +62,12 @@ def test_batched_f64_device_mode_raises():
     rng = np.random.default_rng(14)
     mats = rng.random((2, 16, 16)) + 1.0
     batched = batch_from_dense(mats, dtype=np.float64)
-    with pytest.raises(ValueError, match="native CPU path"):
+    with pytest.raises(ValueError, match="host path"):
         auction_solve_batched(batched, mode="device")
+    # auto must NOT resolve f64 to 'device' and then reject its own
+    # routing -- it rides the cpu path (numpy gs_host works without g++).
+    sols, metas = auction_solve_batched(batched, mode="auto")
+    assert all(m["soln_found"] for m in metas)
 
 
 def test_numpy_gs_engine_matches_oracle(monkeypatch):

@@ -153,3 +153,30 @@ def test_sanitize_matching_drops_stale_and_duplicates():
     assert mc.tolist() == [-1, 1, -1, -1]
     with pytest.raises(ValueError, match="length"):
         sanitize_matching(prob, np.array([0, 1]))
+
+
+def test_sharded_backends_reject_f64_and_int_exact():
+    # A silent f32 downcast on device would corrupt costs above 2**24;
+    # both distributed full-width backends must refuse what the sharded
+    # hybrid already refuses (api._resolve_mode guards the one-flag path,
+    # these are the direct entry points).
+    from sslap_tpu.parallel import (auction_solve_overlapped,
+                                    auction_solve_sharded)
+    rng = np.random.default_rng(3)
+    C = rng.random((16, 16)) + 1.0
+    big = rng.integers(2 ** 28, 2 ** 30, (16, 16))   # ingest -> int_exact
+    for fn in (auction_solve_sharded, auction_solve_overlapped):
+        with pytest.raises(ValueError, match="float64"):
+            fn(C, dtype=np.float64, cardinality_check=False)
+        with pytest.raises(ValueError, match="float64"):
+            fn(big, cardinality_check=False)
+
+
+def test_distributed_meta_mode_key_and_problem_passthrough():
+    from sslap_tpu import AuctionSolver
+    rng = np.random.default_rng(4)
+    C = rng.integers(1, 100, (32, 32))
+    for mode in ("sharded", "overlapped", "sharded_hybrid"):
+        res = AuctionSolver(C, mode=mode, cardinality_check=False).solve()
+        assert res["meta"]["mode"] == mode
+        assert res["meta"]["soln_found"]
