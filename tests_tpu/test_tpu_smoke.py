@@ -68,3 +68,74 @@ def test_device_greedy_matching_smoke(accel):
     rows = np.nonzero(mr >= 0)[0]
     assert (mat[rows, mr[rows]] >= 0).all()
     assert (mc[mr[rows]] == rows).all()
+
+
+def test_sharded_hybrid_one_chip_mesh_exact(accel):
+    # Round-3 flagship multi-chip path on a 1-device mesh of the real
+    # chip: same result contract as the single-device solve.
+    from sslap_tpu.parallel import auction_solve_sharded_hybrid, make_mesh
+    import jax
+    rng = np.random.default_rng(11)
+    n = 96
+    C = rng.integers(1, 1000, (n, n))
+    res = auction_solve_sharded_hybrid(C, mesh=make_mesh(
+        devices=jax.devices()[:1]), cardinality_check=False)
+    r, c = scipy_lsa(C)
+    assert res["meta"]["soln_found"]
+    assert res["meta"]["obj"] == int(C[r, c].sum())
+
+
+def test_pallas_bid_probe_completes(accel):
+    # The subprocess-isolated probe must terminate with a definite verdict
+    # on this backend (PASS or a recorded error) -- never wedge the
+    # session.  When it passes, production dispatch A/B parity is implied
+    # (the probe compares the kernel against compute_bids on-chip).
+    from sslap_tpu.ops import pallas_bid_available
+    from sslap_tpu.ops import bid as _bid
+    ok = pallas_bid_available()
+    assert ok or _bid._last_probe_error, "no verdict and no error recorded"
+
+
+def test_gs_kernel_compiled_matches_native(accel):
+    # The on-device GS kernel COMPILED through real Mosaic (the main suite
+    # only exercises interpret mode) vs the native C++ GS, including
+    # 1-nnz rows (the round-3 single-valid-entry fix).
+    from sslap_tpu.hybrid import native_available
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    import jax.numpy as jnp
+    from sslap_tpu.native import auction_gs as gs_host
+    from sslap_tpu.ops.gs_kernel import gs_auction_device
+    from sslap_tpu import ingest as I
+    from sslap_tpu import hybrid as H
+
+    rng = np.random.default_rng(13)
+    n = m = 32
+    locs = [(0, 0)]                       # row 0: single valid entry
+    for i in range(1, n):
+        cols_i = {i} | set(rng.integers(0, m, 3).tolist())
+        locs += [(i, j) for j in cols_i]
+    loc = np.array(sorted(set(locs)))
+    val = rng.random(len(loc)).astype(np.float32) * 50 + 1
+    prob = I.from_coo(loc, val, shape=(n, m))
+    indptr, indices, data = H.ell_to_csr_transformed(prob, -1, 1)
+    bigp = float(data.max() - data.min()) + 1.0
+
+    prices_h = np.zeros(m, np.float32)
+    sigma_h = np.full(n, -1, np.int32)
+    owner_h = np.full(m, -1, np.int32)
+    bids_h = gs_host(indptr, indices, data, prices_h, sigma_h, owner_h,
+                     np.float32(2.0), np.float32(bigp), 0, 10 ** 6)
+
+    vals_t = np.where(np.asarray(prob.valid),
+                      np.asarray(prob.vals) * -1.0,
+                      -2.0 * bigp).astype(np.float32)
+    queue = np.full(n + 1, -1, np.int32)
+    queue[:n] = np.arange(n)
+    prices_d, owner_d, _, bids_d, left = gs_auction_device(
+        jnp.asarray(np.asarray(prob.cols)), jnp.asarray(vals_t),
+        jnp.asarray(queue), n, jnp.zeros(m, jnp.float32),
+        jnp.full((m,), -1, jnp.int32), 2.0, bigp, 10 ** 6)
+    assert int(left) == 0 and int(bids_d) == int(bids_h)
+    np.testing.assert_array_equal(np.asarray(owner_d), owner_h)
+    np.testing.assert_allclose(np.asarray(prices_d), prices_h, rtol=1e-6)
