@@ -44,6 +44,7 @@ collectives).
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Optional, Tuple
 
@@ -96,7 +97,7 @@ def _from_bits(x, dtype):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis_name", "R", "W", "n_glob", "tiers",
-                     "pairs_max", "overlap"))
+                     "pairs_max", "overlap", "balance", "balance_floor"))
 def _solve_sharded_tiered_jit(
     data,                  # [L, R*W] packed lines (or [n_pad, W] when R=1)
     nvalid,                # [n_pad] int32
@@ -111,11 +112,28 @@ def _solve_sharded_tiered_jit(
     tiers: Tuple[int, ...],
     pairs_max: int = 8192,
     overlap: bool = False,
+    balance: bool = False,
+    balance_floor: int = 256,
 ):
     """shard_map'd eps-scaled tiered solve.  Returns (SolveResult with
-    sigma over the PADDED row axis, tier_rounds[2 + len(tiers)]):
+    sigma over the PADDED row axis, tier_rounds[3 + len(tiers)]):
     tier_rounds[0] counts phase-start rounds, [1] the remaining full-width
-    rounds, [2+i] the ladder rounds at tiers[i]."""
+    rounds, [2+i] the ladder rounds at tiers[i], and [-1] the
+    spill-rebuild count (see ``balance``).
+
+    ``balance=True`` sizes each shard's ladder buffer at
+    min(C, n_local, max(2C/D, balance_floor)) instead of min(C, n_local):
+    ladder-round compute then SHRINKS with the mesh (the capacity-C
+    buffers are the design's Amdahl serial fraction -- see
+    benchmarks/project_scaling.py: d=8 efficiency ~33% unbalanced vs
+    ~66% balanced).  The 2x slack absorbs mild imbalance; when a shard's
+    actives still exceed its buffer, the overflow rows wait OUTSIDE the
+    buffer (they stay unassigned, the global gate keeps counting them)
+    and a LOCAL spill-rebuild -- an O(n_local) sort, no collective --
+    readmits them as soon as slots free up.  Trades the trunc=0
+    bit-exact-parity guarantee (spilled rows bid later than the
+    single-device engine would) for scalable round cost; objective
+    optimality is unaffected."""
     n_pad = nvalid.shape[0]
     m = p0.shape[0]
     D = mesh.shape[axis_name]
@@ -126,6 +144,11 @@ def _solve_sharded_tiered_jit(
     neg = neg_sentinel(dtype)
     neg_half = neg // 2 if jnp.issubdtype(dtype, jnp.integer) else neg / 2
     n_tiers = len(tiers)
+
+    def cap_local(C: int) -> int:
+        if not balance:
+            return min(C, n_local)
+        return min(C, n_local, max(-(-2 * C // D), balance_floor))
 
     def run(data_l, nvalid_l, p0_r, eps0_, eps_min_, theta_, max_iter_,
             bigp_, trunc_):
@@ -267,7 +290,12 @@ def _solve_sharded_tiered_jit(
             new_ids = lax.sort(jnp.concatenate([stay, ev_mine]))[:C]
             n_won = jnp.sum(won).astype(jnp.int32)
             n_evi = jnp.sum(prev_owner >= 0).astype(jnp.int32)
-            return prices, owner, sigma, new_ids, n_won, n_evi
+            # Per-shard deltas (for the local-active tracking that drives
+            # balanced-buffer spill rebuilds).
+            my_win = jnp.sum(win_ok).astype(jnp.int32)
+            my_ev = jnp.sum(ev_ok).astype(jnp.int32)
+            return (prices, owner, sigma, new_ids, n_won, n_evi,
+                    my_win, my_ev)
 
         def count_active_global(sigma):
             local = jnp.sum((sigma < 0) & (nvL > 0)).astype(jnp.int32)
@@ -388,36 +416,67 @@ def _solve_sharded_tiered_jit(
             if n_tiers:
                 # Local buffer capacity: a shard can never hold more than
                 # n_local actives, so small shards cap below the GLOBAL
-                # tier capacity (the tier's while-gate stays global).
+                # tier capacity (the tier's while-gate stays global); with
+                # ``balance`` the cap also shrinks toward 2C/D.
                 ids = lax.sort(jnp.where(
                     (sigma < 0) & (nvL > 0), gids,
-                    jnp.int32(n_glob)))[:min(tiers[0], n_local)]
-                carry = (prices, owner, sigma, ids, active, rounds)
+                    jnp.int32(n_glob)))[:cap_local(tiers[0])]
+                lact = jnp.sum((sigma < 0) & (nvL > 0)).astype(jnp.int32)
+                nreb = jnp.int32(0)
+                carry = (prices, owner, sigma, ids, active, lact, nreb,
+                         rounds)
                 for ti, C in enumerate(tiers):
                     floor = tiers[ti + 1] if ti + 1 < n_tiers else 0
-                    Cl = min(C, n_local)
+                    Cl = cap_local(C)
 
                     def cond(c, floor=floor):
-                        _, _, _, _, act, rnd = c
+                        act, rnd = c[4], c[7]
                         return (act > jnp.maximum(jnp.int32(floor),
                                                   trunc__)) \
                             & (rnd < max_iter__)
 
                     def body(c, Cl=Cl):
-                        prices, owner, sigma, ids, act, rnd = c
-                        prices, owner, sigma, ids, nw, ne = \
-                            compact_exchange_round(prices, owner, sigma,
-                                                   ids, eps, Cl)
+                        prices, owner, sigma, ids, act, lact, nreb, rnd = c
+                        (prices, owner, sigma, ids, nw, ne, my_win,
+                         my_ev) = compact_exchange_round(
+                             prices, owner, sigma, ids, eps, Cl)
+                        lact = lact - my_win + my_ev
+                        if balance:
+                            # Spill rebuild: rows that overflowed the
+                            # buffer wait unassigned; readmit them (LOCAL
+                            # sort, no collective, shards may diverge
+                            # here) once slots free up.
+                            blive = jnp.sum(ids < n_glob).astype(jnp.int32)
+                            if os.environ.get("SSLAP_DEBUG_SPILL"):
+                                jax.debug.print(
+                                    "C={c} lact={l} blive={b}", c=Cl,
+                                    l=lact, b=blive)
+                            need = (lact > blive) & (blive < jnp.int32(Cl))
+                            ids = lax.cond(
+                                need,
+                                lambda s: lax.sort(jnp.where(
+                                    (s < 0) & (nvL > 0), gids,
+                                    jnp.int32(n_glob)))[:Cl],
+                                lambda s: ids,
+                                sigma)
+                            nreb = nreb + need.astype(jnp.int32)
                         return (prices, owner, sigma, ids, act - nw + ne,
-                                rnd + 1)
+                                lact, nreb, rnd + 1)
 
                     if ti > 0:
-                        prices, owner, sigma, ids, act, rnd = carry
-                        carry = (prices, owner, sigma, ids[:Cl], act, rnd)
-                    rb = carry[5]
+                        prices, owner, sigma, ids, act, lact, nreb, rnd \
+                            = carry
+                        carry = (prices, owner, sigma, ids[:Cl], act,
+                                 lact, nreb, rnd)
+                    rb = carry[7]
                     carry = lax.while_loop(cond, body, carry)
-                    tier_rounds = tier_rounds.at[2 + ti].add(carry[5] - rb)
-                prices, owner, sigma, ids, active, rounds = carry
+                    tier_rounds = tier_rounds.at[2 + ti].add(carry[7] - rb)
+                (prices, owner, sigma, ids, active, lact, nreb,
+                 rounds) = carry
+                # Spill-rebuild count: max over shards (rebuilds are
+                # local and may diverge), recorded in the last slot.
+                tier_rounds = tier_rounds.at[2 + n_tiers].add(
+                    lax.pmax(nreb, axis_name))
 
             return st._replace(prices=prices, owner=owner, sigma=sigma,
                                rounds=rounds, phases=st.phases + 1,
@@ -431,7 +490,7 @@ def _solve_sharded_tiered_jit(
             eps=eps0__,
             rounds=jnp.int32(0),
             phases=jnp.int32(0),
-            tier_rounds=jnp.zeros((2 + n_tiers,), jnp.int32),
+            tier_rounds=jnp.zeros((3 + n_tiers,), jnp.int32),
         )
         st = run_phase(init, first=True)
 
@@ -475,7 +534,8 @@ def _solve_sharded_tiered_jit(
 def comm_bytes_model(tier_rounds, tiers: Tuple[int, ...], m: int,
                      n_shards: int, elem_bytes: int = 4,
                      n_local: Optional[int] = None,
-                     overlap: bool = False) -> dict:
+                     overlap: bool = False,
+                     cap=None) -> dict:
     """Analytic per-tier collective-byte accounting from the round
     histogram: phase starts move 3x[m] (owner pmin + best pmax + winner
     pmin) -- except the FIRST phase's opening round, which runs without
@@ -486,7 +546,8 @@ def comm_bytes_model(tier_rounds, tiers: Tuple[int, ...], m: int,
     This is the VERDICT round-2 'collective bytes track the active set,
     not m' instrumentation."""
     tr = [int(x) for x in np.asarray(tier_rounds)]
-    cap = (lambda c: min(c, n_local)) if n_local else (lambda c: c)
+    if cap is None:
+        cap = (lambda c: min(c, n_local)) if n_local else (lambda c: c)
     per_round = [3 * m * elem_bytes, 2 * m * elem_bytes] + \
         [3 * n_shards * cap(c) * elem_bytes for c in tiers]
     by_tier = [r * b for r, b in zip(tr, per_round)]
@@ -529,6 +590,8 @@ def auction_solve_sharded_hybrid(
     tiers: Optional[Tuple[int, ...]] = None,
     pairs_max: int = 8192,
     overlap: bool = False,
+    ladder_balance: bool = False,
+    balance_floor: int = 256,
 ):
     """Sharded hybrid solve: row-sharded tiered-compaction device pass with
     truncated phases + ONE host Gauss-Seidel tail at eps_min.
@@ -539,6 +602,16 @@ def auction_solve_sharded_hybrid(
     narrow compact-exchange tiers stay synchronous on purpose -- their
     eviction chains are data-serial, so a pipelined bid-cycle would pay
     ~2x the collective latency the synchronous round pays once.
+
+    ``ladder_balance=True`` sizes ladder buffers at ~2C/D per shard
+    (floor ``balance_floor``) instead of C, so ladder-round compute
+    shrinks with the mesh -- the scaling-critical knob
+    (benchmarks/project_scaling.py: d=8 efficiency ~33% -> ~66%).
+    Overflowing shards spill rows out of the buffer and readmit them via
+    local rebuilds (meta ``ladder_rebuilds`` counts them).  Costs the
+    trunc=0 bit-exact single-device parity (objective optimality
+    unaffected); leave off for single-digit meshes on one host where
+    collective latency is microseconds and the wide regime dominates.
 
     Same result contract as api.auction_solve.  Square problems only (the
     rectangular implicit-dummy path stays on parallel/sharded.py).  The
@@ -618,7 +691,8 @@ def auction_solve_sharded_hybrid(
     res, tier_rounds = _solve_sharded_tiered_jit(
         data_arr, nvalid_pad, p0, e0, e_min, theta_v, max_iter, bigp,
         trunc_v, mesh=mesh, axis_name=axis_name, R=R, W=W, n_glob=n_pad,
-        tiers=tiers, pairs_max=pairs_max, overlap=overlap)
+        tiers=tiers, pairs_max=pairs_max, overlap=overlap,
+        balance=ladder_balance, balance_floor=balance_floor)
 
     # np.array (copy), NOT np.asarray: the GS tail writes prices in place
     # through ctypes, and np.asarray would alias JAX's read-only cached
@@ -653,11 +727,18 @@ def auction_solve_sharded_hybrid(
         "time": time.perf_counter() - t0,
         "device_time": t_dev,
         "host_gs_time": t_gs,
-        "tier_rounds": np.asarray(tier_rounds).tolist(),
+        # last slot of the raw array is the spill-rebuild count, split out
+        "tier_rounds": np.asarray(tier_rounds)[:-1].tolist(),
+        "ladder_rebuilds": int(np.asarray(tier_rounds)[-1]),
         "n_shards": int(D),
         "mode": "sharded_hybrid",
         "overlap": bool(overlap),
+        "ladder_balance": bool(ladder_balance),
     }
-    meta.update(comm_bytes_model(tier_rounds, tiers, m, D,
-                                 n_local=n_pad // D, overlap=overlap))
+    meta.update(comm_bytes_model(
+        np.asarray(tier_rounds)[:-1], tiers, m, D,
+        n_local=n_pad // D, overlap=overlap,
+        cap=(None if not ladder_balance else
+             (lambda c: min(c, n_pad // D,
+                            max(-(-2 * c // D), balance_floor))))))
     return _api.AuctionSolution(sol=sigma, meta=meta, prices=prices)

@@ -177,6 +177,93 @@ def test_overlap_objective_parity_int():
     assert sh["meta"]["tier_rounds"][1] > 0, sh["meta"]["tier_rounds"]
 
 
+def _contested_instance(n, C, seed=0):
+    """Rows 0..C-1 form a dense CxC block (all compete for cols 0..C-1
+    through eviction chains -> actives stay concentrated in few shards);
+    remaining rows are diagonal-only.  Deterministically overflows the
+    balanced ladder buffers."""
+    rng = np.random.default_rng(seed)
+    locs, vals = [], []
+    for i in range(C):
+        for j in range(C):
+            locs.append((i, j))
+            vals.append(int(rng.integers(1, 100)))
+    for i in range(C, n):
+        locs.append((i, i))
+        vals.append(int(rng.integers(1, 100)))
+    return np.array(locs, np.int64), np.array(vals, np.float64)
+
+
+def test_ladder_balance_optimality():
+    # ladder_balance=True trades trunc=0 bit-exact sigma parity (spilled
+    # rows bid later than the single-device engine) but never optimality:
+    # integer costs at eps_min < 1/(n+1) reach the same objective.
+    n = 512
+    rng = np.random.default_rng(7)
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.03, integer=True)
+    single = auction_solve(loc=loc, val=val, shape=(n, n), mode="device",
+                           cardinality_check=False)
+    sh = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                      mesh=_mesh(), trunc=0,
+                                      cardinality_check=False,
+                                      ladder_balance=True, balance_floor=16)
+    m = sh["meta"]
+    assert m["obj"] == single["meta"]["obj"]
+    assert m["ladder_balance"] is True
+    assert m["ladder_rebuilds"] >= 0
+
+
+def test_ladder_balance_spill_rebuild_contested():
+    # The crafted contention block concentrates actives in few shards ->
+    # buffers sized max(2C/D, floor) overflow -> local spill rebuilds
+    # readmit the waiting rows; the solve still reaches the optimum.
+    n, C = 512, 56
+    loc, val = _contested_instance(n, C)
+    sh = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                      mesh=_mesh(), trunc=0,
+                                      cardinality_check=False,
+                                      ladder_balance=True, balance_floor=8)
+    m = sh["meta"]
+    assert m["ladder_rebuilds"] >= 1, m
+    assert m["obj"] == scipy_sparse_objective(loc, val, n, n)
+    assert m["soln_found"]
+
+
+def test_ladder_balance_comm_model_uses_balanced_caps():
+    # The analytic collective-bytes meta must account ladder rounds at
+    # the BALANCED buffer capacity, not the global tier capacity.
+    n, bf = 512, 16
+    rng = np.random.default_rng(7)
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.03, integer=True)
+    sh = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                      mesh=_mesh(), trunc=0,
+                                      cardinality_check=False,
+                                      ladder_balance=True,
+                                      balance_floor=bf)
+    meta = sh["meta"]
+    D = meta["n_shards"]
+    n_local = -(-n // D)
+    for c, b in zip(meta["tier_capacities"][2:],
+                    meta["comm_bytes_per_round_by_tier"][2:]):
+        cap = min(c, n_local, max(-(-2 * c // D), bf))
+        assert b == 3 * 4 * D * cap
+        assert cap < c or c <= max(-(-2 * c // D), bf)
+
+
+def test_ladder_balance_with_gs_tail():
+    # Truncated balanced device pass + host GS tail still reaches the
+    # exact optimum (the tail finishes whatever the spills deferred).
+    n, C = 256, 48
+    loc, val = _contested_instance(n, C, seed=1)
+    sh = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                      mesh=_mesh(), trunc=24,
+                                      cardinality_check=False,
+                                      ladder_balance=True, balance_floor=8)
+    m = sh["meta"]
+    assert m["soln_found"]
+    assert m["obj"] == scipy_sparse_objective(loc, val, n, n)
+
+
 def test_overlap_with_gs_tail_and_floats():
     n = 256
     rng = np.random.default_rng(37)
