@@ -82,38 +82,14 @@ def kernel_tier_probe():
 
 
 def device_alive(wait_s: float = None) -> bool:
-    """Probe the TPU in a SUBPROCESS with a timeout: this environment's
-    tunneled device can die mid-session (observed round 3: relay process
-    exited; every device op then hangs forever, not raising).  A hung
-    bench leaves the driver with no JSON line at all, so gate every
-    device-touching path on this probe and fall back to an honest
-    CPU-only report.  Retries until ``wait_s`` (env BENCH_DEVICE_WAIT_S,
-    default 300 s) in case the tunnel is briefly re-establishing."""
-    import subprocess
-    if wait_s is None:
-        wait_s = float(os.environ.get("BENCH_DEVICE_WAIT_S", "300"))
-    code = ("import jax, jax.numpy as jnp\n"
-            "x = jnp.ones((64, 64))\n"
-            "assert float((x @ x).sum()) == 64 * 64 * 64\n"
-            "print('ok')\n")
-    deadline = time.monotonic() + wait_s
-    attempt = 0
-    while True:
-        attempt += 1
-        try:
-            r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, timeout=90)
-            if r.returncode == 0 and b"ok" in r.stdout:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        if time.monotonic() >= deadline:
-            log(f"device probe: TPU unreachable after {attempt} attempts "
-                f"over {wait_s:.0f}s -- falling back to CPU-only report")
-            return False
-        log(f"device probe attempt {attempt} failed; retrying "
-            f"({deadline - time.monotonic():.0f}s left)")
-        time.sleep(min(60, max(5, deadline - time.monotonic())))
+    """TPU liveness gate: a dead tunnel HANGS device ops instead of
+    raising, and a hung bench leaves the driver with no JSON line at all
+    -- so gate every device-touching path and fall back to an honest
+    CPU-only report.  The probe itself is the package's failure-detection
+    utility (sslap_tpu.utils.device_alive: subprocess + timeout +
+    retry-until-deadline)."""
+    from sslap_tpu.utils import device_alive as _alive
+    return _alive(wait_s=wait_s, log=log)
 
 
 def main():

@@ -249,9 +249,24 @@ def config5(small=False):
     ov = {"time": dt_ov, "rounds": res_ov["meta"]["its"],
           "soln_found": res_ov["meta"]["soln_found"],
           "obj_matches": res_ov["meta"]["obj"] == meta["obj"]}
+    # A/B: mesh-balanced ladder buffers (~2C/D + local spill rebuilds) --
+    # the multi-chip scaling knob (benchmarks/project_scaling.py lifts
+    # projected d=8 efficiency ~33% -> ~60%); on the sim mesh the row
+    # documents round-count/rebuild cost and objective parity.
+    t0 = time.perf_counter()
+    res_b = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, m),
+                                         mesh=mesh, ladder_balance=True,
+                                         cardinality_check=False)
+    dt_b = time.perf_counter() - t0
+    bal = {"time": dt_b, "rounds": res_b["meta"]["its"],
+           "ladder_rebuilds": res_b["meta"]["ladder_rebuilds"],
+           "comm_bytes_total": res_b["meta"]["comm_bytes_total"],
+           "soln_found": res_b["meta"]["soln_found"],
+           "obj_matches": res_b["meta"]["obj"] == meta["obj"]}
     return {"config": 5, "n": n, "devices": n_dev, "time": dt,
             "warm_time": warm,
             "overlap_ab": ov,
+            "ladder_balance_ab": bal,
             "rounds": meta["its"],
             "host_bids": meta["host_bids"],
             "soln_found": meta["soln_found"],

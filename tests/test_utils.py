@@ -54,3 +54,19 @@ def test_throughput_counters():
     c = throughput_counters(1000, {"time": 2.0, "its": 10})
     assert c["nnz_per_s"] == 5000.0
     assert c["rounds_per_s"] == 5.0
+
+
+def test_device_alive_machinery(monkeypatch):
+    # Exercises the subprocess-probe machinery, not the device: the probe
+    # guards against backends that HANG (a dead relay never raises), so
+    # it must run out-of-process under a timeout and honor the deadline.
+    from sslap_tpu.utils import liveness
+
+    monkeypatch.setattr(liveness, "_PROBE_CODE", "print('ok')")
+    assert liveness.device_alive(wait_s=5) is True
+
+    msgs = []
+    monkeypatch.setattr(liveness, "_PROBE_CODE",
+                        "import sys; sys.exit(1)")
+    assert liveness.device_alive(wait_s=0, log=msgs.append) is False
+    assert any("unreachable" in m for m in msgs)
