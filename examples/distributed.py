@@ -97,6 +97,20 @@ def main():
     print(f"overlap=True obj matches; rounds {ov['meta']['its']} "
           f"(vs {m['its']} sync: the pipeline's round-count price)")
 
+    # Mesh-balanced ladder buffers: narrow-tier compute shrinks with the
+    # mesh (~2C/D buffers + local spill rebuilds) -- the multi-chip
+    # scaling knob (benchmarks/project_scaling.py: projected d=8
+    # efficiency ~33% -> ~60%).  Opt-in: costs trunc=0 bit-exactness,
+    # never objective optimality.
+    bal = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
+                                       mesh=mesh, trunc=64,
+                                       ladder_balance=True,
+                                       cardinality_check=False)
+    assert bal["meta"]["obj"] == hy["meta"]["obj"]
+    print(f"ladder_balance=True obj matches; "
+          f"spill rebuilds {bal['meta']['ladder_rebuilds']}, "
+          f"collective bytes {bal['meta']['comm_bytes_total']/1e6:.1f} MB")
+
 
 if __name__ == "__main__":
     main()
