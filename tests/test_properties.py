@@ -131,3 +131,46 @@ def test_eps_cs_invariant_sharded_overlap():
         mine = profits[cols[i][valid[i]] == sol[i]]
         assert mine.size == 1, f"row {i} assigned outside its edges"
         assert mine[0] >= profits.max() - eps_t, f"eps-CS broken at row {i}"
+
+
+def test_eps_cs_invariant_ladder_balance():
+    """Spill rebuilds defer rows' bids but must not break eps-CS: the
+    balanced sharded hybrid's final state satisfies the invariant at
+    eps_min, even on a contention instance that forces rebuilds."""
+    import jax
+    from sslap_tpu.parallel import auction_solve_sharded_hybrid, make_mesh
+    rng = np.random.default_rng(5)
+    n, C = 256, 48
+    locs, vals = [], []
+    for i in range(C):
+        for j in range(C):
+            locs.append((i, j))
+            vals.append(int(rng.integers(1, 100)))
+    for i in range(C, n):
+        locs.append((i, i))
+        vals.append(int(rng.integers(1, 100)))
+    loc = np.array(locs, np.int64)
+    val = np.array(vals, np.float64)
+    res = auction_solve_sharded_hybrid(
+        loc=loc, val=val, shape=(n, n),
+        mesh=make_mesh(devices=jax.devices()), trunc=0,
+        ladder_balance=True, balance_floor=8,
+        cardinality_check=False)
+    assert res["meta"]["soln_found"]
+    prob = ingest.from_coo(loc, val, shape=(n, n))
+    tr = _auction.make_transform("min", n, np.asarray(val).dtype,
+                                 float(np.abs(val).max()),
+                                 int_exact=prob.int_exact)
+    vals_t = np.asarray(tr.apply(prob.vals)).astype(np.int64)
+    cols = np.asarray(prob.cols)
+    valid = np.asarray(prob.valid)
+    p = np.asarray(res["prices"]).astype(np.int64)
+    sol = res["sol"]
+    eps_t = max(int(round(res["meta"]["final_eps"] * tr.scale)), 1)
+    for i in range(n):
+        if not valid[i].any():
+            continue
+        profits = vals_t[i][valid[i]] - p[cols[i][valid[i]]]
+        mine = profits[cols[i][valid[i]] == sol[i]]
+        assert mine.size == 1, f"row {i} assigned outside its edges"
+        assert mine[0] >= profits.max() - eps_t, f"eps-CS broken at row {i}"
