@@ -42,6 +42,7 @@ Run: python benchmarks/project_scaling.py
 N = 1_000_000
 K = 10
 A_FIXED = 15e-6
+BALANCE_FLOOR = 256   # = auction_solve_sharded_hybrid's default
 MEASURED_SINGLE_CHIP_S = 5.17   # tiered single-chip design, context only
 
 # 8-shard sharded-hybrid histogram (PERF.md round 3, trunc=256):
@@ -68,10 +69,11 @@ def project(d, bw_gbps, lat_us, b, overlap=True, balanced=False):
     t += FULL_WIDTH * (max(comp_fw, comm_fw) if overlap
                        else comp_fw + comm_fw)
     for c, r in LADDER:
-        # balanced = the implemented ladder_balance=True policy
-        # (sharded_compact.cap_local): min(C, n_local, max(ceil(2C/d),
-        # floor)); spill rebuilds are local sorts, modeled free.
-        cl = min(c, n_local, max(-(-2 * c // d), 512)) if balanced else c
+        # balanced = the implemented ladder_balance=True policy at its
+        # shipped default floor (sharded_compact.balanced_cap, floor
+        # 256); spill rebuilds are local sorts, modeled free.
+        cl = (min(c, n_local, max(-(-2 * c // d), BALANCE_FLOOR))
+              if balanced else c)
         t += r * (A_FIXED + b * cl * K + ag(12 * cl))
     return t
 
@@ -113,8 +115,8 @@ def main():
         "  2. 'bal' = ladder_balance=True (IMPLEMENTED: sharded_compact\n"
         "     sizes ladder buffers ~2C/d with local spill rebuilds):\n"
         "     recovers most of the wide-ladder compute, lifting d=8 to\n"
-        "     ~55-65%.\n"
-        "  3. The >= 80% north-star at N = 2 holds under ~2 us collective\n"
+        "     ~63-69%.\n"
+        "  3. The >= 80% north-star at d = 2 holds under ~2 us collective\n"
         "     latency with balanced buffers; the unbalanced design sits\n"
         "     at ~75% -- the gap is design (fixable), not wire.\n"
         "  4. Larger instances scale better: the wide regime grows with\n"

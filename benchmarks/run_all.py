@@ -251,7 +251,7 @@ def config5(small=False):
           "obj_matches": res_ov["meta"]["obj"] == meta["obj"]}
     # A/B: mesh-balanced ladder buffers (~2C/D + local spill rebuilds) --
     # the multi-chip scaling knob (benchmarks/project_scaling.py lifts
-    # projected d=8 efficiency ~33% -> ~60%); on the sim mesh the row
+    # projected d=8 efficiency ~33% -> ~65%); on the sim mesh the row
     # documents round-count/rebuild cost and objective parity.
     t0 = time.perf_counter()
     res_b = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, m),

@@ -94,6 +94,15 @@ def _from_bits(x, dtype):
     return lax.bitcast_convert_type(x, dtype)
 
 
+def balanced_cap(C: int, n_local: int, D: int, floor: int) -> int:
+    """Shard-local ladder buffer capacity under ``ladder_balance=True``:
+    min(C, n_local, max(ceil(2C/D), floor)).  The ONE definition shared
+    by the solver's buffer sizing and the analytic comm-bytes meta --
+    the two must agree or comm_bytes_total stops matching the actual
+    all-gather sizes."""
+    return min(C, n_local, max(-(-2 * C // D), floor))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis_name", "R", "W", "n_glob", "tiers",
@@ -118,15 +127,16 @@ def _solve_sharded_tiered_jit(
     """shard_map'd eps-scaled tiered solve.  Returns (SolveResult with
     sigma over the PADDED row axis, tier_rounds[3 + len(tiers)]):
     tier_rounds[0] counts phase-start rounds, [1] the remaining full-width
-    rounds, [2+i] the ladder rounds at tiers[i], and [-1] the
-    spill-rebuild count (see ``balance``).
+    rounds, [2+i] the ladder rounds at tiers[i], and [-1] the total
+    spill-rebuild sort count summed over shards and phases (see
+    ``balance``).
 
     ``balance=True`` sizes each shard's ladder buffer at
     min(C, n_local, max(2C/D, balance_floor)) instead of min(C, n_local):
     ladder-round compute then SHRINKS with the mesh (the capacity-C
     buffers are the design's Amdahl serial fraction -- see
     benchmarks/project_scaling.py: d=8 efficiency ~33% unbalanced vs
-    ~66% balanced).  The 2x slack absorbs mild imbalance; when a shard's
+    ~65% balanced).  The 2x slack absorbs mild imbalance; when a shard's
     actives still exceed its buffer, the overflow rows wait OUTSIDE the
     buffer (they stay unassigned, the global gate keeps counting them)
     and a LOCAL spill-rebuild -- an O(n_local) sort, no collective --
@@ -148,7 +158,7 @@ def _solve_sharded_tiered_jit(
     def cap_local(C: int) -> int:
         if not balance:
             return min(C, n_local)
-        return min(C, n_local, max(-(-2 * C // D), balance_floor))
+        return balanced_cap(C, n_local, D, balance_floor)
 
     def run(data_l, nvalid_l, p0_r, eps0_, eps_min_, theta_, max_iter_,
             bigp_, trunc_):
@@ -301,6 +311,14 @@ def _solve_sharded_tiered_jit(
             local = jnp.sum((sigma < 0) & (nvL > 0)).astype(jnp.int32)
             return lax.psum(local, axis_name)
 
+        def active_ids(sigma, cap: int):
+            """Smallest-gid active rows, padded with n_glob to ``cap``.
+            The ONE definition used at ladder entry AND by spill
+            rebuilds: both must select identically or rebuilt buffers
+            diverge from entry buffers."""
+            return lax.sort(jnp.where(
+                (sigma < 0) & (nvL > 0), gids, jnp.int32(n_glob)))[:cap]
+
         def run_phase(st: _compact.TieredState, first: bool):
             prices, owner, sigma = st.prices, st.owner, st.sigma
             eps = st.eps
@@ -418,9 +436,7 @@ def _solve_sharded_tiered_jit(
                 # n_local actives, so small shards cap below the GLOBAL
                 # tier capacity (the tier's while-gate stays global); with
                 # ``balance`` the cap also shrinks toward 2C/D.
-                ids = lax.sort(jnp.where(
-                    (sigma < 0) & (nvL > 0), gids,
-                    jnp.int32(n_glob)))[:cap_local(tiers[0])]
+                ids = active_ids(sigma, cap_local(tiers[0]))
                 lact = jnp.sum((sigma < 0) & (nvL > 0)).astype(jnp.int32)
                 nreb = jnp.int32(0)
                 carry = (prices, owner, sigma, ids, active, lact, nreb,
@@ -447,6 +463,11 @@ def _solve_sharded_tiered_jit(
                             # sort, no collective, shards may diverge
                             # here) once slots free up.
                             blive = jnp.sum(ids < n_glob).astype(jnp.int32)
+                            # Debug gate read at TRACE time: the jit
+                            # cache is keyed on static args only, so set
+                            # SSLAP_DEBUG_SPILL before the FIRST solve of
+                            # a shape in the process (toggling later hits
+                            # the cached executable and prints nothing).
                             if os.environ.get("SSLAP_DEBUG_SPILL"):
                                 jax.debug.print(
                                     "C={c} lact={l} blive={b}", c=Cl,
@@ -454,9 +475,7 @@ def _solve_sharded_tiered_jit(
                             need = (lact > blive) & (blive < jnp.int32(Cl))
                             ids = lax.cond(
                                 need,
-                                lambda s: lax.sort(jnp.where(
-                                    (s < 0) & (nvL > 0), gids,
-                                    jnp.int32(n_glob)))[:Cl],
+                                lambda s: active_ids(s, Cl),
                                 lambda s: ids,
                                 sigma)
                             nreb = nreb + need.astype(jnp.int32)
@@ -473,10 +492,11 @@ def _solve_sharded_tiered_jit(
                     tier_rounds = tier_rounds.at[2 + ti].add(carry[7] - rb)
                 (prices, owner, sigma, ids, active, lact, nreb,
                  rounds) = carry
-                # Spill-rebuild count: max over shards (rebuilds are
-                # local and may diverge), recorded in the last slot.
+                # Spill-rebuild count: TOTAL rebuild sorts across shards
+                # (rebuilds are local and may diverge; the sum is the
+                # actual work done), recorded in the last slot.
                 tier_rounds = tier_rounds.at[2 + n_tiers].add(
-                    lax.pmax(nreb, axis_name))
+                    lax.psum(nreb, axis_name))
 
             return st._replace(prices=prices, owner=owner, sigma=sigma,
                                rounds=rounds, phases=st.phases + 1,
@@ -606,9 +626,10 @@ def auction_solve_sharded_hybrid(
     ``ladder_balance=True`` sizes ladder buffers at ~2C/D per shard
     (floor ``balance_floor``) instead of C, so ladder-round compute
     shrinks with the mesh -- the scaling-critical knob
-    (benchmarks/project_scaling.py: d=8 efficiency ~33% -> ~66%).
+    (benchmarks/project_scaling.py: d=8 efficiency ~33% -> ~65%).
     Overflowing shards spill rows out of the buffer and readmit them via
-    local rebuilds (meta ``ladder_rebuilds`` counts them).  Costs the
+    local rebuilds (meta ``ladder_rebuilds`` = total rebuild sorts summed
+    over shards and phases).  Costs the
     trunc=0 bit-exact single-device parity (objective optimality
     unaffected); leave off for single-digit meshes on one host where
     collective latency is microseconds and the wide regime dominates.
@@ -739,6 +760,6 @@ def auction_solve_sharded_hybrid(
         np.asarray(tier_rounds)[:-1], tiers, m, D,
         n_local=n_pad // D, overlap=overlap,
         cap=(None if not ladder_balance else
-             (lambda c: min(c, n_pad // D,
-                            max(-(-2 * c // D), balance_floor))))))
+             (lambda c: balanced_cap(c, n_pad // D, int(D),
+                                     balance_floor)))))
     return _api.AuctionSolution(sol=sigma, meta=meta, prices=prices)
