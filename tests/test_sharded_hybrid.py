@@ -14,7 +14,8 @@ from sslap_tpu.parallel import (
     make_mesh,
     sharded_ladder_tiers,
 )
-from tests.utils import random_sparse_instance, scipy_sparse_objective
+from tests.utils import (contested_instance, random_sparse_instance,
+                         scipy_sparse_objective)
 
 
 def _mesh(k=None):
@@ -177,23 +178,6 @@ def test_overlap_objective_parity_int():
     assert sh["meta"]["tier_rounds"][1] > 0, sh["meta"]["tier_rounds"]
 
 
-def _contested_instance(n, C, seed=0):
-    """Rows 0..C-1 form a dense CxC block (all compete for cols 0..C-1
-    through eviction chains -> actives stay concentrated in few shards);
-    remaining rows are diagonal-only.  Deterministically overflows the
-    balanced ladder buffers."""
-    rng = np.random.default_rng(seed)
-    locs, vals = [], []
-    for i in range(C):
-        for j in range(C):
-            locs.append((i, j))
-            vals.append(int(rng.integers(1, 100)))
-    for i in range(C, n):
-        locs.append((i, i))
-        vals.append(int(rng.integers(1, 100)))
-    return np.array(locs, np.int64), np.array(vals, np.float64)
-
-
 def test_ladder_balance_optimality():
     # ladder_balance=True trades trunc=0 bit-exact sigma parity (spilled
     # rows bid later than the single-device engine) but never optimality:
@@ -218,7 +202,7 @@ def test_ladder_balance_spill_rebuild_contested():
     # buffers sized max(2C/D, floor) overflow -> local spill rebuilds
     # readmit the waiting rows; the solve still reaches the optimum.
     n, C = 512, 56
-    loc, val = _contested_instance(n, C)
+    loc, val = contested_instance(n, C)
     sh = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
                                       mesh=_mesh(), trunc=0,
                                       cardinality_check=False,
@@ -254,7 +238,7 @@ def test_ladder_balance_with_gs_tail():
     # Truncated balanced device pass + host GS tail still reaches the
     # exact optimum (the tail finishes whatever the spills deferred).
     n, C = 256, 48
-    loc, val = _contested_instance(n, C, seed=1)
+    loc, val = contested_instance(n, C, seed=1)
     sh = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, n),
                                       mesh=_mesh(), trunc=24,
                                       cardinality_check=False,

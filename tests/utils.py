@@ -43,3 +43,21 @@ def scipy_dense_objective(dense, maximize=False, forbidden=-1):
     r, c = scipy_lsa(C, maximize=maximize)
     assert not bad[r, c].any(), "oracle used a forbidden entry"
     return float(np.asarray(dense, np.float64)[r, c].sum())
+
+
+def contested_instance(n, C, seed=0):
+    """Rows 0..C-1 form a dense CxC block (all compete for cols 0..C-1
+    through eviction chains, so actives stay concentrated in few shards);
+    remaining rows are diagonal-only.  Deterministically overflows the
+    sharded hybrid's balanced ladder buffers (ladder_balance=True) --
+    the ONE builder shared by every test that needs spills to trigger."""
+    rng = np.random.default_rng(seed)
+    locs, vals = [], []
+    for i in range(C):
+        for j in range(C):
+            locs.append((i, j))
+            vals.append(int(rng.integers(1, 100)))
+    for i in range(C, n):
+        locs.append((i, i))
+        vals.append(int(rng.integers(1, 100)))
+    return np.array(locs, np.int64), np.array(vals, np.float64)
