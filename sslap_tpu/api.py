@@ -14,12 +14,17 @@ Returns a dict-like ``AuctionSolution`` with 'sol' (row -> col int array) and
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Per-process cache for the opt-in auto-mode liveness probe (None = not
+# probed yet); see AuctionSolver._resolve_mode.
+_AUTO_DEVICE_ALIVE = None
 
 from sslap_tpu import auction as _auction
 from sslap_tpu import feasibility as _feas
@@ -212,6 +217,26 @@ class AuctionSolver:
         # crossover accordingly (calibrate.py, VERDICT round-2 weak 6).
         from sslap_tpu.calibrate import crossover
         if prob.n == prob.m and prob.n >= crossover():
+            # Opt-in serving guard (SSLAP_TPU_AUTO_LIVENESS=1): a dead
+            # relayed backend HANGS device ops instead of raising --
+            # api-level try/except (below) cannot catch that -- so probe
+            # once per process before routing auto to the device and
+            # degrade to the native CPU path if it doesn't answer.
+            # Opt-in because the probe costs a subprocess jax import
+            # (seconds); explicit mode= requests are never overridden.
+            if os.environ.get("SSLAP_TPU_AUTO_LIVENESS"):
+                from sslap_tpu.utils import liveness as _live
+                global _AUTO_DEVICE_ALIVE
+                if _AUTO_DEVICE_ALIVE is None:
+                    _AUTO_DEVICE_ALIVE = _live.device_alive(
+                        wait_s=float(os.environ.get(
+                            "SSLAP_TPU_AUTO_LIVENESS_WAIT_S", "30")))
+                if not _AUTO_DEVICE_ALIVE:
+                    import warnings
+                    warnings.warn(
+                        "auto mode: device liveness probe failed; "
+                        "routing to the native CPU path", RuntimeWarning)
+                    return "cpu"
             return "hybrid"
         # Below the hybrid crossover the native GS wins at EVERY size --
         # at n=1000 it solves in ~3 ms where a device dispatch costs

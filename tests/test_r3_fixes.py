@@ -180,3 +180,42 @@ def test_distributed_meta_mode_key_and_problem_passthrough():
         res = AuctionSolver(C, mode=mode, cardinality_check=False).solve()
         assert res["meta"]["mode"] == mode
         assert res["meta"]["soln_found"]
+
+
+def test_auto_liveness_gate(monkeypatch):
+    # Opt-in serving guard: auto routes >= crossover sizes to the device
+    # path, but a dead relayed backend HANGS device ops (cannot be caught
+    # in-process), so SSLAP_TPU_AUTO_LIVENESS=1 probes once per process
+    # and degrades auto -> cpu when the probe fails.  Explicit mode=
+    # requests are never overridden.
+    import warnings
+    import sslap_tpu.api as api
+    from sslap_tpu.utils import liveness
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    C = rng.integers(1, 100, (32, 32))
+    solver = api.AuctionSolver(C, cardinality_check=False)
+    # force the routing decision into the >= crossover branch
+    monkeypatch.setattr(api, "_AUTO_DEVICE_ALIVE", None)
+    import sslap_tpu.calibrate as cal
+    monkeypatch.setattr(cal, "crossover", lambda force=False: 16)
+    monkeypatch.setenv("SSLAP_TPU_AUTO_LIVENESS", "1")
+    monkeypatch.setattr(liveness, "_PROBE_CODE", "import sys; sys.exit(1)")
+    monkeypatch.setenv("SSLAP_TPU_AUTO_LIVENESS_WAIT_S", "0")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert solver._resolve_mode() == "cpu"
+    assert any("liveness" in str(x.message) for x in w)
+    # probe result is cached per process: second resolve does not re-probe
+    monkeypatch.setattr(liveness, "device_alive",
+                        lambda **kw: (_ for _ in ()).throw(
+                            AssertionError("re-probed")))
+    assert solver._resolve_mode() == "cpu"
+    # alive probe keeps the hybrid routing
+    monkeypatch.setattr(api, "_AUTO_DEVICE_ALIVE", True)
+    assert solver._resolve_mode() == "hybrid"
+    # without the env flag the gate is inert
+    monkeypatch.delenv("SSLAP_TPU_AUTO_LIVENESS")
+    monkeypatch.setattr(api, "_AUTO_DEVICE_ALIVE", None)
+    assert solver._resolve_mode() == "hybrid"
