@@ -1,0 +1,200 @@
+"""Differential fuzzing vs the scipy oracles (SURVEY.md SS5.2 extended).
+
+Randomized sweep over the whole public surface: modes (cpu / device /
+hybrid / auto / sharded / overlapped / sharded_hybrid), engines (compact /
+candidates), input forms (dense with -1 forbidden / COO), int and float
+costs, min and max problems, rectangular shapes, warm-started re-solves,
+and structurally infeasible instances (must raise InfeasibleError, never
+hang).  Every failure prints a self-contained repro line (seed + scenario).
+
+Runs on CPU with 8 virtual devices (same trick as tests/conftest.py) so it
+needs no TPU.  Shapes are drawn from a small pool so the jit cache stays
+hot across iterations.
+
+Usage:  python benchmarks/fuzz.py --iters 500 --seed 0
+"""
+
+import argparse
+import os
+import sys
+import traceback
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sslap_tpu import AuctionSolver, InfeasibleError  # noqa: E402
+from tests.utils import (  # noqa: E402
+    random_sparse_instance,
+    scipy_dense_objective,
+    scipy_sparse_objective,
+)
+
+# Small pools keep the number of distinct jit shapes bounded.
+N_POOL = [1, 2, 3, 5, 8, 13, 16, 24, 32, 48, 64, 96, 128]
+M_OFF_POOL = [0, 1, 4, 12]
+
+# (mode, weight, square_only).  auto resolves to cpu below the crossover,
+# which every pool size is, so it exercises the cpu routing + meta path.
+MODES = [
+    ("cpu", 4, False),
+    ("device", 4, False),
+    ("hybrid", 3, False),
+    ("auto", 2, False),
+    ("sharded", 2, False),
+    ("overlapped", 1, True),
+    ("sharded_hybrid", 1, True),
+]
+
+
+def pick_mode(rng, square):
+    while True:
+        modes, weights, sq = zip(*MODES)
+        mode = rng.choice(modes, p=np.array(weights) / sum(weights))
+        i = modes.index(mode)
+        if sq[i] and not square:
+            continue
+        return mode
+
+
+def one_case(seed):
+    """Run one randomized scenario; returns (scenario_str, error_or_None)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.choice(N_POOL))
+    square = rng.random() < 0.7
+    m = n if square else n + int(rng.choice(M_OFF_POOL))
+    square = n == m
+    density = float(rng.uniform(0.05, 1.0))
+    integer = rng.random() < 0.7
+    problem = "max" if rng.random() < 0.4 else "min"
+    coo_input = rng.random() < 0.4
+    mode = pick_mode(rng, square)
+    # candidates is a single-device opt-in engine
+    engine = ("candidates"
+              if mode == "device" and square and rng.random() < 0.25
+              else None)
+    card = rng.random() < 0.3
+    warm = rng.random() < 0.25 and mode in ("cpu", "device", "hybrid")
+    infeasible = rng.random() < 0.10
+
+    scen = (f"seed={seed} n={n} m={m} dens={density:.2f} "
+            f"int={integer} prob={problem} coo={coo_input} mode={mode} "
+            f"engine={engine} card={card} warm={warm} infeas={infeasible}")
+
+    loc, val, dense = random_sparse_instance(
+        rng, n, m, density, low=1, high=1000, integer=integer)
+
+    if infeasible:
+        # Structural infeasibility: pick a victim row and forbid all its
+        # edges except collisions into one column already owned by another
+        # row's ONLY edge -- simplest robust form: empty a row entirely is
+        # rejected at ingest, so instead give k=2 rows the same single
+        # column.
+        if n < 2:
+            infeasible = False
+        else:
+            col = int(loc[0, 1])
+            keep = ~np.isin(loc[:, 0], [0, 1]) | (loc[:, 1] == col)
+            loc2 = loc[keep]
+            # make sure both rows still have their shared single column
+            for r in (0, 1):
+                if not ((loc2[:, 0] == r) & (loc2[:, 1] == col)).any():
+                    loc2 = np.vstack([loc2, [[r, col]]])
+            order = np.lexsort((loc2[:, 1], loc2[:, 0]))
+            loc = loc2[order]
+            val = (rng.integers(1, 1000, len(loc)) if integer
+                   else rng.random(len(loc)) * 999 + 1)
+            dense = np.full((n, m), -1.0)
+            dense[loc[:, 0], loc[:, 1]] = val
+            if integer:
+                dense = dense.astype(np.int64)
+
+    kwargs = dict(problem=problem, cardinality_check=card or infeasible,
+                  mode=mode)
+    if engine:
+        kwargs["engine"] = engine
+    if coo_input:
+        solver = AuctionSolver(loc=loc, val=val, shape=(n, m), **kwargs)
+    else:
+        solver = AuctionSolver(dense, **kwargs)
+
+    if infeasible:
+        try:
+            solver.solve()
+            return scen, "expected InfeasibleError, got a solution"
+        except InfeasibleError:
+            return scen, None
+
+    res = solver.solve()
+    sol = np.asarray(res["sol"])
+    meta = res["meta"]
+    if not meta["soln_found"]:
+        return scen, f"soln_found False: {meta}"
+    # valid injection over real edges
+    if not ((sol >= 0).all() and len(set(sol.tolist())) == n):
+        return scen, f"not an injection: {sol}"
+    D = np.asarray(dense, np.float64)
+    if (D[np.arange(n), sol] < 0).any():
+        return scen, "assignment uses a forbidden edge"
+    obj_check = D[np.arange(n), sol].sum()
+    if abs(obj_check - meta["obj"]) > 1e-6 * max(1.0, abs(obj_check)):
+        return scen, f"meta obj {meta['obj']} != recomputed {obj_check}"
+    oracle = (scipy_dense_objective(dense, maximize=problem == "max")
+              if not coo_input else
+              scipy_sparse_objective(loc, val, n, m,
+                                     maximize=problem == "max"))
+    if integer:
+        if meta["obj"] != oracle:
+            return scen, f"int obj {meta['obj']} != oracle {oracle}"
+    else:
+        tol = (m + 1) * meta["final_eps"] + 1e-3
+        if abs(meta["obj"] - oracle) > tol:
+            return scen, (f"float obj {meta['obj']} vs oracle {oracle} "
+                          f"beyond tol {tol}")
+
+    if warm and res.get("prices") is not None:
+        res2 = solver.solve(warm_prices=np.asarray(res["prices"]))
+        if integer and res2["meta"]["obj"] != oracle:
+            return scen, (f"warm re-solve obj {res2['meta']['obj']} "
+                          f"!= oracle {oracle}")
+    return scen, None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--progress-every", type=int, default=25)
+    args = ap.parse_args()
+
+    failures = []
+    for i in range(args.iters):
+        seed = args.seed + i
+        try:
+            scen, err = one_case(seed)
+        except Exception:
+            scen = f"seed={seed} (exception during case)"
+            err = traceback.format_exc(limit=12)
+        if err:
+            failures.append((scen, err))
+            print(f"FAIL {scen}\n  {err}", flush=True)
+        if (i + 1) % args.progress_every == 0:
+            print(f"[{i + 1}/{args.iters}] failures={len(failures)}",
+                  flush=True)
+
+    print(f"done: {args.iters} cases, {len(failures)} failures", flush=True)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

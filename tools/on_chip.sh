@@ -1,0 +1,45 @@
+#!/bin/bash
+# On-chip work queue for when the TPU tunnel is alive (round 3).
+# ONE TPU process at a time: this script runs everything sequentially.
+# Each step logs to chip_logs/ and survives individual failures.
+#
+#   bash tools/on_chip.sh [quick|full]
+#
+# quick: smoke tests + Pallas probe + small bench (~15 min)
+# full:  quick + trunc sweep + full 1M bench (~1-2 h)
+
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p chip_logs
+MODE="${1:-quick}"
+TS=$(date +%H%M%S)
+
+step() {
+  local name="$1"; shift
+  echo "=== $name ($(date +%T)) ==="
+  timeout "$@" > "chip_logs/${TS}_${name}.log" 2>&1
+  echo "--- $name exit=$? ; tail:"
+  tail -5 "chip_logs/${TS}_${name}.log"
+}
+
+# 1. Real-TPU smoke suite (7 tests incl. round-3 paths)
+step tpu_smoke 1800 python -m pytest tests_tpu/ -x -q
+
+# 2. On-chip Pallas bid-kernel probe verdict (VERDICT r2 task 5)
+step pallas_probe 600 python -c "
+from sslap_tpu.ops import bid as _bid
+ok = _bid.pallas_bid_available()
+print('pallas probe:', 'PASS' if ok else f'FAIL [{_bid._last_probe_error}]')
+"
+
+# 3. Small bench (validates device path end-to-end + headline machinery)
+step bench_small 900 env BENCH_SMALL=1 python bench.py
+
+if [ "$MODE" = "full" ]; then
+  # 4. Truncation sweep incl. --down (device-pass tuning, VERDICT r2 task 2)
+  step sweep_trunc 5400 python benchmarks/sweep_trunc.py --down
+  # 5. Full 1M headline bench
+  step bench_full 3600 python bench.py
+fi
+
+echo "=== queue done; logs in chip_logs/ ==="
