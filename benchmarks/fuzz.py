@@ -33,7 +33,7 @@ import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sslap_tpu import AuctionSolver, InfeasibleError  # noqa: E402
+from sslap_tpu import AuctionSolver, InfeasibleError, hopcroft_solve  # noqa: E402
 from tests.utils import (  # noqa: E402
     random_sparse_instance,
     scipy_dense_objective,
@@ -170,20 +170,139 @@ def one_case(seed):
     return scen, None
 
 
+def hk_case(seed):
+    """Hopcroft-Karp vs scipy maximum_bipartite_matching: matching SIZE
+    equality (matchings themselves may differ), validity of the returned
+    matching, and the warm= path under pattern perturbation."""
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import maximum_bipartite_matching
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.choice(N_POOL))
+    m = n + int(rng.choice(M_OFF_POOL))
+    density = float(rng.uniform(0.02, 0.6))
+    mask = rng.random((n, m)) < density   # NO planted matching: rows may
+    scen = f"hk seed={seed} n={n} m={m} dens={density:.2f}"   # be empty
+    rr, cc = np.nonzero(mask)
+    if len(rr) == 0:
+        return scen, None
+    loc = np.stack([rr, cc], 1)
+
+    match = hopcroft_solve(loc=loc, shape=(n, m))
+    # validity: matched edges exist, columns unique
+    mi = match >= 0
+    if mi.any():
+        if not mask[np.nonzero(mi)[0], match[mi]].all():
+            return scen, "HK matched a non-edge"
+        if len(set(match[mi].tolist())) != mi.sum():
+            return scen, "HK matched a column twice"
+    sp = csr_matrix((np.ones(len(rr), np.int8), (rr, cc)), shape=(n, m))
+    oracle_sz = int((maximum_bipartite_matching(sp, perm_type="column")
+                     >= 0).sum())
+    if int(mi.sum()) != oracle_sz:
+        return scen, f"HK size {mi.sum()} != scipy {oracle_sz}"
+
+    # warm path: perturb ~10% of edges, seed with the stale matching
+    keep = rng.random(len(rr)) > 0.1
+    rr2, cc2 = rr[keep], cc[keep]
+    add = rng.random((n, m)) < density * 0.1
+    mask2 = np.zeros((n, m), bool)
+    mask2[rr2, cc2] = True
+    mask2 |= add
+    rr3, cc3 = np.nonzero(mask2)
+    if len(rr3) == 0:
+        return scen, None
+    loc3 = np.stack([rr3, cc3], 1)
+    warm_match = hopcroft_solve(loc=loc3, shape=(n, m), warm=match)
+    cold_match = hopcroft_solve(loc=loc3, shape=(n, m))
+    wsz, csz = int((warm_match >= 0).sum()), int((cold_match >= 0).sum())
+    if wsz != csz:
+        return scen, f"warm HK size {wsz} != cold {csz}"
+    wi = warm_match >= 0
+    if wi.any():
+        if not mask2[np.nonzero(wi)[0], warm_match[wi]].all():
+            return scen, "warm HK matched a non-edge"
+        if len(set(warm_match[wi].tolist())) != wi.sum():
+            return scen, "warm HK matched a column twice"
+    return scen, None
+
+
+def batch_case(seed):
+    """Batched solve (cpu / device / mesh-sharded) vs per-instance scipy."""
+    from sslap_tpu.batch import auction_solve_batched, batch_from_dense
+
+    rng = np.random.default_rng(seed)
+    B = int(rng.choice([2, 3, 4, 8]))
+    n = int(rng.choice([5, 8, 16, 24, 32]))
+    m = n if rng.random() < 0.7 else n + 4
+    density = float(rng.uniform(0.2, 1.0))
+    integer = rng.random() < 0.7
+    problem = "max" if rng.random() < 0.4 else "min"
+    bmode = rng.choice(["cpu", "device", "mesh"], p=[0.4, 0.4, 0.2])
+    scen = (f"batch seed={seed} B={B} n={n} m={m} dens={density:.2f} "
+            f"int={integer} prob={problem} bmode={bmode}")
+
+    mats = []
+    for _ in range(B):
+        _, _, dense = random_sparse_instance(
+            rng, n, m, density, low=1, high=1000, integer=integer)
+        mats.append(dense.astype(np.float64))
+    batched = batch_from_dense(np.stack(mats))
+
+    kw = dict(problem=problem)
+    if bmode == "mesh":
+        from jax.sharding import Mesh
+        ndev = max(d for d in (8, 4, 2, 1) if B % d == 0)
+        kw["mesh"] = Mesh(np.asarray(jax.devices()[:ndev]), ("batch",))
+        kw["mode"] = "device"
+    else:
+        kw["mode"] = str(bmode)
+    sols, metas = auction_solve_batched(batched, **kw)
+    for b in range(B):
+        sol = np.asarray(sols[b])
+        D = mats[b]
+        if not ((sol >= 0).all() and len(set(sol.tolist())) == n):
+            return scen, f"inst {b}: not an injection"
+        if (D[np.arange(n), sol] < 0).any():
+            return scen, f"inst {b}: forbidden edge used"
+        obj = D[np.arange(n), sol].sum()
+        oracle = scipy_dense_objective(D, maximize=problem == "max")
+        if integer:
+            if obj != oracle:
+                return scen, f"inst {b}: obj {obj} != oracle {oracle}"
+        else:
+            meta = metas[b] if isinstance(metas, (list, tuple)) else metas
+            eps = meta.get("final_eps", 1e-3) if isinstance(meta, dict) \
+                else 1e-3
+            if abs(obj - oracle) > (m + 1) * eps + 1e-3:
+                return scen, f"inst {b}: obj {obj} vs oracle {oracle}"
+    return scen, None
+
+
+FAMILIES = {"auction": one_case, "hk": hk_case, "batch": batch_case}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--family", choices=[*FAMILIES, "all"], default="auction")
     ap.add_argument("--progress-every", type=int, default=25)
     args = ap.parse_args()
+
+    if args.family == "all":
+        fams = list(FAMILIES.values())
+    else:
+        fams = [FAMILIES[args.family]]
 
     failures = []
     for i in range(args.iters):
         seed = args.seed + i
+        case = fams[i % len(fams)]
         try:
-            scen, err = one_case(seed)
+            scen, err = case(seed)
         except Exception:
-            scen = f"seed={seed} (exception during case)"
+            scen = f"seed={seed} fam={case.__name__} (exception during case)"
             err = traceback.format_exc(limit=12)
         if err:
             failures.append((scen, err))
