@@ -123,6 +123,14 @@ def one_case(seed):
                   mode=mode)
     if engine:
         kwargs["engine"] = engine
+    # solver-parameter jitter (small pools so jit caching stays effective)
+    if rng.random() < 0.25:
+        kwargs["theta"] = float(rng.choice([2.0, 5.0, 10.0]))
+        scen += f" theta={kwargs['theta']}"
+    valve = (not infeasible and mode == "device" and rng.random() < 0.05)
+    if valve:
+        kwargs["max_iter"] = 2
+        scen += " valve"
     if coo_input:
         solver = AuctionSolver(loc=loc, val=val, shape=(n, m), **kwargs)
     else:
@@ -138,6 +146,11 @@ def one_case(seed):
     res = solver.solve()
     sol = np.asarray(res["sol"])
     meta = res["meta"]
+    if valve and not meta["soln_found"]:
+        # max_iter valve tripped before convergence: the contract is
+        # soln_found=False + obj None, never a hang or bogus answer
+        return scen, ("valve: obj not None" if meta["obj"] is not None
+                      else None)
     if not meta["soln_found"]:
         return scen, f"soln_found False: {meta}"
     # valid injection over real edges
@@ -279,7 +292,39 @@ def batch_case(seed):
     return scen, None
 
 
-FAMILIES = {"auction": one_case, "hk": hk_case, "batch": batch_case}
+def adapter_case(seed):
+    """scipy-compatible linear_sum_assignment adapter: negatives allowed,
+    maximize flag, tall (rows > cols) matrices via the transpose path."""
+    from scipy.optimize import linear_sum_assignment as scipy_lsa
+
+    from sslap_tpu import linear_sum_assignment as our_lsa
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.choice([3, 8, 16, 24, 32]))
+    m = n + int(rng.choice([0, 0, 5, -2])) if n > 4 else n
+    maximize = rng.random() < 0.5
+    integer = rng.random() < 0.7
+    scen = f"adapter seed={seed} n={n} m={m} max={maximize} int={integer}"
+    if integer:
+        C = rng.integers(-500, 500, (n, m)).astype(np.float64)
+    else:
+        C = rng.random((n, m)) * 200 - 100
+    ri, ci = our_lsa(C, maximize=maximize)
+    r0, c0 = scipy_lsa(C, maximize=maximize)
+    ours, ref = C[ri, ci].sum(), C[r0, c0].sum()
+    k = min(n, m)
+    if len(ri) != k or len(set(zip(ri.tolist(), ci.tolist()))) != k:
+        return scen, f"adapter returned {len(ri)} pairs, expected {k}"
+    if integer:
+        if ours != ref:
+            return scen, f"adapter obj {ours} != scipy {ref}"
+    elif abs(ours - ref) > 1e-2 * max(1.0, abs(ref)):
+        return scen, f"adapter obj {ours} vs scipy {ref}"
+    return scen, None
+
+
+FAMILIES = {"auction": one_case, "hk": hk_case, "batch": batch_case,
+            "adapter": adapter_case}
 
 
 def main():
