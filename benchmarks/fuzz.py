@@ -323,8 +323,67 @@ def adapter_case(seed):
     return scen, None
 
 
+def sharded_flags_case(seed):
+    """Sharded-hybrid driver flag matrix (overlap / ladder_balance / trunc /
+    mesh width / warm prices) vs the scipy oracle."""
+    from jax.sharding import Mesh
+
+    from sslap_tpu.parallel.sharded_compact import (
+        auction_solve_sharded_hybrid,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.choice([16, 32, 64, 96, 128]))
+    density = float(rng.uniform(0.1, 0.8))
+    integer = rng.random() < 0.7
+    problem = "max" if rng.random() < 0.4 else "min"
+    ndev = int(rng.choice([1, 2, 4, 8]))
+    overlap = rng.random() < 0.4
+    balance = rng.random() < 0.4
+    trunc = int(rng.choice([0, 4, 64, 256]))
+    scen = (f"shflags seed={seed} n={n} dens={density:.2f} int={integer} "
+            f"prob={problem} d={ndev} ov={overlap} bal={balance} "
+            f"trunc={trunc}")
+
+    loc, val, dense = random_sparse_instance(
+        rng, n, n, density, low=1, high=1000, integer=integer)
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("rows",))
+    res = auction_solve_sharded_hybrid(
+        dense, mesh=mesh, problem=problem, cardinality_check=False,
+        trunc=trunc, overlap=overlap, ladder_balance=balance,
+        balance_floor=int(rng.choice([8, 64, 256])))
+    sol = np.asarray(res["sol"])
+    meta = res["meta"]
+    if not meta["soln_found"]:
+        return scen, f"soln_found False: {meta}"
+    if not ((sol >= 0).all() and len(set(sol.tolist())) == n):
+        return scen, "not an injection"
+    D = np.asarray(dense, np.float64)
+    if (D[np.arange(n), sol] < 0).any():
+        return scen, "forbidden edge used"
+    obj = D[np.arange(n), sol].sum()
+    oracle = scipy_dense_objective(dense, maximize=problem == "max")
+    if integer:
+        if obj != oracle:
+            return scen, f"obj {obj} != oracle {oracle}"
+    elif abs(obj - oracle) > (n + 1) * meta["final_eps"] + 1e-3:
+        return scen, f"obj {obj} vs oracle {oracle}"
+
+    # warm re-solve through the same driver must stay optimal
+    if rng.random() < 0.3 and res.get("prices") is not None:
+        res2 = auction_solve_sharded_hybrid(
+            dense, mesh=mesh, problem=problem, cardinality_check=False,
+            trunc=trunc, overlap=overlap, ladder_balance=balance,
+            warm_prices=np.asarray(res["prices"]))
+        sol2 = np.asarray(res2["sol"])
+        obj2 = D[np.arange(n), sol2].sum()
+        if integer and obj2 != oracle:
+            return scen, f"warm obj {obj2} != oracle {oracle}"
+    return scen, None
+
+
 FAMILIES = {"auction": one_case, "hk": hk_case, "batch": batch_case,
-            "adapter": adapter_case}
+            "adapter": adapter_case, "sharded_flags": sharded_flags_case}
 
 
 def main():
