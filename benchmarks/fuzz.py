@@ -12,6 +12,12 @@ needs no TPU.  Shapes are drawn from a small pool so the jit cache stays
 hot across iterations.
 
 Usage:  python benchmarks/fuzz.py --iters 500 --seed 0
+
+Keep --iters <= ~400 per process: each distinct scenario compiles a new
+XLA program, and this box's vm.max_map_count (65530) caps how many mmap
+regions one process can hold -- a single long run dies around ~800 cases
+with LLVM 'Cannot allocate memory' while the machine has 100+ GB free.
+Drive longer sweeps as seed-offset segments in fresh processes.
 """
 
 import argparse
