@@ -22,6 +22,19 @@ which cannot beat XLA's ~7 ns HBM scalar gather on this part.
 On a toolchain where the in-kernel gather beats XLA's, flipping the env
 var moves the hot loop into the kernel with no code changes -- re-probe
 per toolchain update.
+
+Scope (why the TIERED production engine does not consult this hook): the
+kernel's interface is the full-width ELL bid (all n rows, [n, K] arrays)
+-- exactly the Jacobi driver's round shape.  The tiered engine's rounds
+instead fetch ONE packed line per ACTIVE row (compact.fetch_rows on the
+RowPack layout) and bid only the compacted id buffer; at ladder widths
+(C << n) the round's cost is the C slice gathers, which the
+all-rows-every-round kernel cannot undercut at any per-element speed.  A
+packed-line kernel variant for the compacted round would have to beat
+~7 ns/elem on a (1, W) dynamic row load -- the same primitive the probe
+measures -- so it inherits the same verdict as the full-width kernel;
+build it only if a probe PASS shows the window-load formulation beating
+the XLA gather on a future toolchain.
 """
 
 import os
