@@ -18,6 +18,18 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sslap_tpu.utils import device_alive  # noqa: E402
+
+# The serving pattern from utils/liveness.py: a dead relayed accelerator
+# HANGS device ops rather than raising, so probe it from a subprocess
+# before the first device use and fall back to the CPU backend (the
+# warm-start behavior this example demonstrates is backend-independent).
+if not device_alive(wait_s=20, attempt_timeout_s=60):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    print("device liveness probe failed; running on the CPU backend")
+
 from sslap_tpu import AuctionSolver  # noqa: E402
 from sslap_tpu.utils import load_state, save_state  # noqa: E402
 
