@@ -21,8 +21,11 @@ crossover accordingly:
 
 A faster host pushes the crossover up (CPU wins longer); a faster
 gather pulls it down.  Results are cached to a JSON file keyed by
-hostname + device kind, so the probe runs once per machine, not per
-process.  Opt in with SSLAP_TPU_CALIBRATE=1 (default off: auto routing
+hostname, so the probe runs once per machine, not per process.  The
+device-touching half of the measurement runs in a timeout-guarded
+SUBPROCESS (a dead relayed backend hangs device ops -- utils/liveness.py)
+and falls back to the reference gather constant when the device does not
+answer.  Opt in with SSLAP_TPU_CALIBRATE=1 (default off: auto routing
 must not surprise a serving process with a one-off device probe).
 """
 
@@ -51,13 +54,43 @@ def _cache_path() -> str:
     return os.path.join(tempfile.gettempdir(), "sslap_tpu_calib.json")
 
 
-def _machine_key() -> str:
+def _measure_device() -> tuple:
+    """(device_kind, gather_ns) measured in a SUBPROCESS with a timeout.
+
+    Both ``jax.devices()`` and the gather probe HANG (not raise) when a
+    relayed backend's tunnel is dead, so the parent process must never
+    touch the device here (utils/liveness.py rationale).  The subprocess
+    inherits the parent's initialized backend platform if there is one
+    (tests forced to CPU stay on CPU); on timeout or failure the fallback
+    is ("nodevice", REF_GATHER_NS) -- calibration then scales by the host
+    rate alone."""
+    import subprocess
+    import sys
     try:
         import jax
-        dev = jax.devices()[0].device_kind
+        platform = jax.default_backend() \
+            if jax._src.xla_bridge._backends else None
     except Exception:
-        dev = "nodevice"
-    return f"{socket.gethostname()}|{dev}"
+        platform = None
+    code = (
+        "import jax\n"
+        + (f"jax.config.update('jax_platforms', {platform!r})\n"
+           if platform else "")
+        + "from sslap_tpu.calibrate import measure_gather_ns\n"
+        "kind = jax.devices()[0].device_kind\n"
+        "print('CALIB_OK', kind.replace(' ', '_'), measure_gather_ns())\n")
+    timeout = float(os.environ.get("SSLAP_TPU_CALIBRATE_TIMEOUT", "120"))
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout)
+        for line in out.stdout.splitlines():
+            if line.startswith("CALIB_OK"):
+                _, kind, ns = line.split()
+                return kind, float(ns)
+    except Exception:
+        pass
+    return "nodevice", REF_GATHER_NS
 
 
 def measure_host_rate() -> float:
@@ -139,7 +172,10 @@ def crossover(force: bool = False) -> int:
         return DEFAULT_CROSSOVER
     if _cached is not None and not force:
         return _cached
-    key = _machine_key()
+    # Hostname-only cache key so the fast path never touches the device
+    # (querying the device kind can HANG on a dead relayed backend; the
+    # kind is recorded informationally and force=True remeasures).
+    key = socket.gethostname()
     path = _cache_path()
     try:
         with open(path) as f:
@@ -150,10 +186,7 @@ def crossover(force: bool = False) -> int:
     except Exception:
         pass
     host_rate = measure_host_rate()
-    try:
-        gather_ns = measure_gather_ns()
-    except Exception:
-        gather_ns = REF_GATHER_NS
+    device_kind, gather_ns = _measure_device()
     if host_rate <= 0:
         # no native engine: the device path wins at every size anyway
         # (api._resolve_mode handles this before consulting the crossover)
@@ -164,7 +197,8 @@ def crossover(force: bool = False) -> int:
     _cached = int(np.clip(x, 10_000, 50_000_000))
     try:
         with open(path, "w") as f:
-            json.dump({"key": key, "crossover": _cached,
+            json.dump({"key": key, "device_kind": device_kind,
+                       "crossover": _cached,
                        "host_bids_per_s": host_rate,
                        "gather_ns": gather_ns}, f)
     except Exception:

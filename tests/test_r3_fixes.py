@@ -92,6 +92,23 @@ def test_calibrated_crossover(tmp_path, monkeypatch):
     assert cal.crossover() == x          # disk cache, not the latched default
 
 
+def test_calibrate_device_timeout_falls_back(tmp_path, monkeypatch):
+    # The device half of calibration runs in a timeout-guarded subprocess
+    # (a dead relayed backend HANGS device ops); on timeout it must fall
+    # back to ("nodevice", REF_GATHER_NS) and calibration proceeds on the
+    # host rate alone instead of hanging.
+    import sslap_tpu.calibrate as cal
+    monkeypatch.setenv("SSLAP_TPU_CALIBRATE_TIMEOUT", "0.001")
+    kind, ns = cal._measure_device()
+    assert kind == "nodevice" and ns == cal.REF_GATHER_NS
+    monkeypatch.setattr(cal, "_cache_path",
+                        lambda: str(tmp_path / "calib.json"))
+    cal._cached = None
+    x = cal.crossover(force=True)
+    assert 10_000 <= x <= 50_000_000
+    cal._cached = None
+
+
 def test_candidate_fast_bid_tie_breaks_lowest_column():
     # Shortlist slots ordered by build-time w (col 7 first), but at bid
     # time both entries tie: the bid must target the LOWER column (3),
