@@ -90,7 +90,8 @@ def one_case(seed):
               if mode == "device" and square and rng.random() < 0.25
               else None)
     card = rng.random() < 0.3
-    warm = rng.random() < 0.25 and mode in ("cpu", "device", "hybrid")
+    # every mode returns warm-startable 'prices' (round-3 contract)
+    warm = rng.random() < 0.25
     infeasible = rng.random() < 0.10
 
     scen = (f"seed={seed} n={n} m={m} dens={density:.2f} "
@@ -181,8 +182,11 @@ def one_case(seed):
             return scen, (f"float obj {meta['obj']} vs oracle {oracle} "
                           f"beyond tol {tol}")
 
-    if warm and res.get("prices") is not None:
-        res2 = solver.solve(warm_prices=np.asarray(res["prices"]))
+    if warm:
+        prices = res.get("prices")
+        if prices is None:
+            return scen, "AuctionSolution missing warm-startable 'prices'"
+        res2 = solver.solve(warm_prices=np.asarray(prices))
         if integer and res2["meta"]["obj"] != oracle:
             return scen, (f"warm re-solve obj {res2['meta']['obj']} "
                           f"!= oracle {oracle}")

@@ -41,9 +41,12 @@ _UNSET = object()  # distinguishes "kwarg not given" from an explicit value
 
 
 class AuctionSolution(dict):
-    """Dict with attribute access: keys 'sol', 'meta' (and convenience
-    properties).  Key names follow SURVEY.md SS1 item 7 ([K-med]; exact
-    reference keys unverifiable -- mount empty)."""
+    """Dict with attribute access: keys 'sol', 'meta', 'prices' (and
+    convenience properties).  Key names follow SURVEY.md SS1 item 7
+    ([K-med]; exact reference keys unverifiable -- mount empty).
+    'prices' is the final dual vector in the solver's TRANSFORMED space --
+    feed it back as ``warm_prices=`` for warm-started re-solves (same
+    convention on every mode)."""
 
     @property
     def sol(self) -> np.ndarray:
@@ -185,7 +188,9 @@ class AuctionSolver:
         if warm_prices is None:
             p0 = jnp.zeros((prob.m,), prob.vals.dtype)
         else:
-            p0 = jnp.asarray(warm_prices, prob.vals.dtype)
+            p0 = jnp.asarray(_auction.validate_warm_prices(warm_prices,
+                                                           prob.m),
+                             prob.vals.dtype)
         return tr, e0, e_min, theta, max_iter, p0
 
     def _resolve_mode(self) -> str:
@@ -255,6 +260,8 @@ class AuctionSolver:
 
     def solve(self, warm_prices=None) -> AuctionSolution:
         prob = self.problem_spec
+        if warm_prices is not None:
+            warm_prices = _auction.validate_warm_prices(warm_prices, prob.m)
         t0 = time.perf_counter()
         if self.cardinality_check and not _feas.is_feasible(prob):
             raise InfeasibleError(
@@ -323,7 +330,8 @@ class AuctionSolver:
                              obj=(_objective_host(prob, sol)
                                   if soln_found else None),
                              time=time.perf_counter() - t0)
-            return AuctionSolution(sol=sol, meta=self.meta)
+            return AuctionSolution(sol=sol, meta=self.meta,
+                                   prices=self.prices)
         tr, e0, e_min, theta, max_iter, p0 = self._prepare(warm_prices)
         vals_t = tr.apply(prob.vals)
         if prob.n == prob.m and self.keep_assignment:
@@ -360,7 +368,7 @@ class AuctionSolver:
             "time": t1 - t0,
             "mode": "device",
         }
-        return AuctionSolution(sol=sol, meta=self.meta)
+        return AuctionSolution(sol=sol, meta=self.meta, prices=self.prices)
 
 
 import functools
@@ -428,9 +436,10 @@ def auction_solve(
         instances), or 'cpu' (pure native Gauss-Seidel reference).
 
     Returns:
-      AuctionSolution with 'sol' (int array, row -> col, -1 if unassigned)
-      and 'meta' ({'obj', 'its', 'phases', 'soln_found', 'final_eps',
-      'unassigned', 'time'}).
+      AuctionSolution with 'sol' (int array, row -> col, -1 if unassigned),
+      'meta' ({'obj', 'its', 'phases', 'soln_found', 'final_eps',
+      'unassigned', 'time'}), and 'prices' (final duals, transformed
+      space; reusable as warm_prices).
     """
     solver = AuctionSolver(
         mat, loc=loc, val=val, shape=shape, problem=problem,

@@ -31,6 +31,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, NamedTuple, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -536,3 +537,15 @@ def default_eps_schedule(dtype, vmax_abs: float, size: int, scale: int,
 def default_max_iter(n: int) -> int:
     # Jacobi rounds, not individual bids; each round retires many rows.
     return min(50 * n + 2000, 10_000_000)
+
+
+def validate_warm_prices(warm_prices, m: int) -> np.ndarray:
+    """Shape-check a user-supplied warm price vector (one dual per COLUMN);
+    a silent mis-shaped array would otherwise surface as an opaque jit
+    shape error deep inside the solve."""
+    wp = np.asarray(warm_prices)
+    if wp.shape != (m,):
+        raise ValueError(
+            f"warm_prices must have shape ({m},) -- one dual per column -- "
+            f"got {wp.shape}")
+    return wp

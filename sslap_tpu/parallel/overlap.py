@@ -280,7 +280,9 @@ def auction_solve_overlapped(
     vals_t = np.asarray(prob_p.vals) * np.asarray(
         tr.sign * tr.scale, vals_np.dtype)
     p0 = (jnp.zeros((prob.m,), vals_np.dtype) if warm_prices is None
-          else jnp.asarray(np.asarray(warm_prices), vals_np.dtype))
+          else jnp.asarray(_auction.validate_warm_prices(warm_prices,
+                                                         prob.m),
+                           vals_np.dtype))
 
     res = solve_ell_overlapped(
         jnp.asarray(prob_p.cols), jnp.asarray(vals_t),

@@ -196,7 +196,9 @@ def auction_solve_sharded(
     # Warm-start parity with the single-device modes: prices are replicated
     # state, so a previous solve's prices seed every shard identically.
     p0 = (jnp.zeros((prob.m,), vals_t.dtype) if warm_prices is None
-          else jnp.asarray(np.asarray(warm_prices), vals_t.dtype))
+          else jnp.asarray(_auction.validate_warm_prices(warm_prices,
+                                                         prob.m),
+                           vals_t.dtype))
 
     # With relabeled rows every row is "real" from the solver's view (the
     # padding rows are interleaved but have nvalid == 0 and never bid);

@@ -706,7 +706,7 @@ def auction_solve_sharded_hybrid(
         tiers = sharded_ladder_tiers(n_pad, m, D)
     trunc_v = min(int(trunc), max(n // 8, 1))
     p0 = (np.zeros((m,), vdtype) if warm_prices is None
-          else np.asarray(warm_prices, vdtype))
+          else _auction.validate_warm_prices(warm_prices, m).astype(vdtype))
 
     t_dev0 = time.perf_counter()
     res, tier_rounds = _solve_sharded_tiered_jit(

@@ -109,6 +109,49 @@ def test_calibrate_device_timeout_falls_back(tmp_path, monkeypatch):
     cal._cached = None
 
 
+def test_warm_prices_shape_validated():
+    # A mis-shaped warm_prices must raise a clear ValueError at the API
+    # boundary on every entry point, not an opaque jit shape error.
+    import jax
+    from jax.sharding import Mesh
+
+    from sslap_tpu import AuctionSolver
+    from sslap_tpu.parallel import (
+        auction_solve_overlapped,
+        auction_solve_sharded,
+        auction_solve_sharded_hybrid,
+    )
+
+    rng = np.random.default_rng(0)
+    C = rng.integers(1, 100, (16, 16))
+    bad = np.zeros(7, np.float32)
+    with pytest.raises(ValueError, match="warm_prices"):
+        AuctionSolver(C, mode="cpu", cardinality_check=False).solve(
+            warm_prices=bad)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("rows",))
+    for fn in (auction_solve_sharded, auction_solve_overlapped,
+               auction_solve_sharded_hybrid):
+        with pytest.raises(ValueError, match="warm_prices"):
+            fn(C, mesh=mesh, cardinality_check=False, warm_prices=bad)
+
+
+@pytest.mark.parametrize("mode", ["cpu", "device", "hybrid", "sharded",
+                                  "overlapped", "sharded_hybrid"])
+def test_prices_key_on_every_mode(mode):
+    # Contract: every AuctionSolution carries 'prices' (transformed-space
+    # duals) reusable as warm_prices= -- the cpu/device/hybrid returns used
+    # to omit the key, silently breaking res['prices'] round-trips that
+    # worked on the distributed modes.
+    rng = np.random.default_rng(3)
+    C = rng.integers(1, 100, (24, 24))
+    solver = AuctionSolver(C, mode=mode, cardinality_check=False)
+    res = solver.solve()
+    assert res["prices"] is not None
+    assert np.asarray(res["prices"]).shape == (24,)
+    res2 = solver.solve(warm_prices=np.asarray(res["prices"]))
+    assert res2["meta"]["obj"] == res["meta"]["obj"]
+
+
 def test_candidate_fast_bid_tie_breaks_lowest_column():
     # Shortlist slots ordered by build-time w (col 7 first), but at bid
     # time both entries tie: the bid must target the LOWER column (3),
