@@ -403,7 +403,12 @@ def solve_hybrid(
         "phases": phases,
         "final_eps": float(eps) / tr.scale,
         "unassigned": unassigned,
-        "soln_found": unassigned == 0 and int((sigma[:n_real] < 0).sum()) == 0,
+        # Same optimality standard as the square fast path: a complete
+        # assignment that exited on max_iter at eps > eps_min is only
+        # eps-CS at that larger eps and must not read as optimal.
+        "soln_found": (unassigned == 0
+                       and int((sigma[:n_real] < 0).sum()) == 0
+                       and eps <= e_min),
         "time": time.perf_counter() - t0,
         "mode": mode,
     }

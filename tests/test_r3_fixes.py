@@ -152,6 +152,26 @@ def test_prices_key_on_every_mode(mode):
     assert res2["meta"]["obj"] == res["meta"]["obj"]
 
 
+def test_rect_hybrid_max_iter_trip_not_reported_optimal():
+    # The rectangular per-phase hybrid used to report soln_found=True when
+    # max_iter tripped after a COMPLETED GS phase at eps > eps_min -- a
+    # complete but only eps-CS-at-larger-eps assignment.  Same standard as
+    # the square fast path now: optimality requires reaching eps_min.
+    from sslap_tpu import ingest
+    from sslap_tpu.hybrid import solve_hybrid
+
+    rng = np.random.default_rng(5)
+    C = rng.integers(1, 1000, (8, 12)).astype(np.float64)
+    prob = ingest.from_dense(C)
+    # threshold=0 makes the device phase run to completion, so max_iter=1
+    # genuinely trips after the first phase's GS completes at eps0 >> eps_min
+    sigma, _, meta = solve_hybrid(prob, mode="hybrid", threshold=0,
+                                  max_iter=1)
+    assert meta["unassigned"] == 0          # assignment IS complete...
+    assert meta["final_eps"] > 1.0 / 13     # ...but only eps0-CS
+    assert not meta["soln_found"]           # so it must not read optimal
+
+
 def test_candidate_fast_bid_tie_breaks_lowest_column():
     # Shortlist slots ordered by build-time w (col 7 first), but at bid
     # time both entries tie: the bid must target the LOWER column (3),
