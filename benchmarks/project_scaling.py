@@ -16,8 +16,10 @@ Measured inputs (PERF.md round 3, real chip + sim-mesh run):
     instance (PERF.md round 3): 7 phase starts, 38 full-width rounds,
     ladder [35, 63, 121, 242, 472, 918, 1833, 3604] at
     sharded_ladder_tiers(1M, 1M, 8) = 65536 .. 512 (trunc = 256).
-    Round count is an algorithmic property of the instance, assumed
-    d-independent.
+    Round count is an algorithmic property of the instance — validated
+    empirically on a 32k bench-class instance at d = 1/8/16 (identical
+    290 rounds, identical host-tail bids and objective; PERF.md round-3
+    continuation note).
 
 Projection per round regime at d shards:
   phase start   compute(n/d * K)   + allreduce(3 x 4m B)
