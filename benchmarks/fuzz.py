@@ -46,8 +46,10 @@ from tests.utils import (  # noqa: E402
     scipy_sparse_objective,
 )
 
-# Small pools keep the number of distinct jit shapes bounded.
-N_POOL = [1, 2, 3, 5, 8, 13, 16, 24, 32, 48, 64, 96, 128]
+# Small pools keep the number of distinct jit shapes bounded.  256/512
+# engage the deeper tier ladders (compact.default_tiers steps at powers
+# of two; the 8-shard ladder only becomes multi-tier past ~512).
+N_POOL = [1, 2, 3, 5, 8, 13, 16, 24, 32, 48, 64, 96, 128, 256, 512]
 M_OFF_POOL = [0, 1, 4, 12]
 
 # (mode, weight, square_only).  auto resolves to cpu below the crossover,
@@ -343,8 +345,9 @@ def sharded_flags_case(seed):
     )
 
     rng = np.random.default_rng(seed)
-    n = int(rng.choice([16, 32, 64, 96, 128]))
-    density = float(rng.uniform(0.1, 0.8))
+    n = int(rng.choice([16, 32, 64, 96, 128, 512, 1024]))
+    density = (float(rng.uniform(0.1, 0.8)) if n <= 128
+               else float(rng.uniform(0.01, 0.05)))
     integer = rng.random() < 0.7
     problem = "max" if rng.random() < 0.4 else "min"
     ndev = int(rng.choice([1, 2, 4, 8]))
