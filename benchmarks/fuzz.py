@@ -100,8 +100,20 @@ def one_case(seed):
             f"int={integer} prob={problem} coo={coo_input} mode={mode} "
             f"engine={engine} card={card} warm={warm} infeas={infeasible}")
 
+    # Cost-regime pool: default; tiny alphabet (heavy ties stress the
+    # deterministic tie-breaks and eviction chains); large-magnitude
+    # floats (stress the eps schedule / f32 ULP accounting).
+    reg = rng.random()
+    if reg < 0.15:
+        low, high = 1, 3
+        scen += " ties"
+    elif reg < 0.25 and not integer:
+        low, high = 1e6, 1e7
+        scen += " bigmag"
+    else:
+        low, high = 1, 1000
     loc, val, dense = random_sparse_instance(
-        rng, n, m, density, low=1, high=1000, integer=integer)
+        rng, n, m, density, low=low, high=high, integer=integer)
 
     if infeasible:
         # Structural infeasibility: pick a victim row and forbid all its
