@@ -144,6 +144,15 @@ def one_case(seed):
                   mode=mode)
     if engine:
         kwargs["engine"] = engine
+    if rng.random() < 0.10 and mode in ("cpu", "device", "hybrid"):
+        kwargs["keep_assignment"] = False    # reference-style phase reset
+        scen += " reset"
+    if rng.random() < 0.10 and not coo_input:
+        kwargs["pad_to"] = m                 # ELL width padding knob
+        scen += " pad"
+    use_config = rng.random() < 0.10
+    if use_config:
+        scen += " cfg"
     # solver-parameter jitter (small pools so jit caching stays effective)
     if rng.random() < 0.25:
         kwargs["theta"] = float(rng.choice([2.0, 5.0, 10.0]))
@@ -152,6 +161,15 @@ def one_case(seed):
     if valve:
         kwargs["max_iter"] = 2
         scen += " valve"
+    if use_config:
+        # Same settings routed through the AuctionConfig bundle: kwargs
+        # and config must be interchangeable (SURVEY.md SS6 config row).
+        from sslap_tpu.config import AuctionConfig
+        cfg = AuctionConfig(**{k: v for k, v in kwargs.items()
+                               if k != "pad_to"})
+        kwargs = ({"pad_to": kwargs["pad_to"]} if "pad_to" in kwargs
+                  else {})
+        kwargs["config"] = cfg
     if coo_input:
         solver = AuctionSolver(loc=loc, val=val, shape=(n, m), **kwargs)
     else:
