@@ -74,6 +74,13 @@ def ell_to_csr_transformed(prob: ELLProblem, sign: int, scale: int
     valid = np.asarray(prob.valid)
     cols = np.asarray(prob.cols)
     vals = np.asarray(prob.vals)
+    from sslap_tpu.native import ell_to_csr_native
+    if ell_to_csr_native is not None:
+        out = ell_to_csr_native(cols, vals, valid,
+                                vals.dtype.type(sign * scale),
+                                int(valid.sum()))
+        if out is not None:
+            return out
     counts = valid.sum(axis=1).astype(np.int64)
     indptr = np.zeros(prob.n + 1, np.int64)
     np.cumsum(counts, out=indptr[1:])

@@ -16,6 +16,7 @@ if _lib is not None:
     from sslap_tpu.native.build import (
         auction_gs,
         build_ell_native,
+        ell_to_csr_native,
         hopcroft_karp_native,
         hopcroft_karp_native_i32,
         hopcroft_karp_warm_native,
@@ -27,6 +28,7 @@ else:  # toolchain unavailable: numpy fallbacks are used by callers
     hopcroft_karp_native_i32 = None
     hopcroft_karp_warm_native = None
     build_ell_native = None
+    ell_to_csr_native = None
     auction_gs = None
     unassign_violators_native = None
     rowpack_fill = None

@@ -86,6 +86,18 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.sslap_rowpack_fill_i32.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i32p, i32p, b8p, i32p,
         ctypes.c_int32, ctypes.c_int32, i32p]
+    lib.sslap_ell_to_csr_f32.restype = None
+    lib.sslap_ell_to_csr_f32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i32p, f32p, b8p,
+        ctypes.c_float, i64p, i32p, f32p]
+    lib.sslap_ell_to_csr_f64.restype = None
+    lib.sslap_ell_to_csr_f64.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i32p, f64p, b8p,
+        ctypes.c_double, i64p, i32p, f64p]
+    lib.sslap_ell_to_csr_i32.restype = None
+    lib.sslap_ell_to_csr_i32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i32p, i32p, b8p,
+        ctypes.c_int32, i64p, i32p, i32p]
     lib.sslap_coo_prepare.restype = ctypes.c_int64
     lib.sslap_coo_prepare.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p, i64p]
@@ -197,6 +209,42 @@ def hopcroft_karp_native_i32(indptr: np.ndarray, indices: np.ndarray,
             n, m, _ptr(match_row, ctypes.c_int32),
             _ptr(match_col, ctypes.c_int32))
     return match_row, match_col, int(size)
+
+
+def ell_to_csr_native(cols: np.ndarray, vals: np.ndarray,
+                      valid: np.ndarray, sign_scale, nnz: int
+                      ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                          np.ndarray]]:
+    """Fused native ELL -> CSR of transformed values: one pass over
+    cols/vals/valid writing (indptr int64, indices int32, data vals.dtype)
+    directly.  Replaces numpy boolean fancy-indexing, which runs
+    np.nonzero per indexing op and materializes [nnz] int64 index temps
+    (~0.8 GB each at 100M nnz; 49.5 s at the 10M scale config, PERF.md).
+    Returns None when the native library / dtype is unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n, K = cols.shape
+    dtype = vals.dtype
+    if dtype == np.float32:
+        fn, ct = lib.sslap_ell_to_csr_f32, ctypes.c_float
+    elif dtype == np.float64:
+        fn, ct = lib.sslap_ell_to_csr_f64, ctypes.c_double
+    elif dtype == np.int32:
+        fn, ct = lib.sslap_ell_to_csr_i32, ctypes.c_int32
+    else:
+        return None
+    cols = np.ascontiguousarray(cols, np.int32)
+    vals = np.ascontiguousarray(vals, dtype)
+    valid = np.ascontiguousarray(valid, bool)
+    indptr = np.empty(n + 1, np.int64)
+    indices = np.empty(nnz, np.int32)
+    data = np.empty(nnz, dtype)
+    fn(n, K, _ptr(cols, ctypes.c_int32), _ptr(vals, ct),
+       _ptr(valid, ctypes.c_bool), ct(sign_scale),
+       _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+       _ptr(data, ct))
+    return indptr, indices, data
 
 
 def rowpack_fill(cols: np.ndarray, vals: np.ndarray, valid: np.ndarray,

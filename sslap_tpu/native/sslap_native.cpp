@@ -315,6 +315,71 @@ void sslap_ell_fill_i32(int64_t nnz, int64_t n, int64_t K,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// ELL -> CSR of transformed (maximization) values, one fused pass.  The
+// numpy path (`cols[valid]`, `vals[valid]`) runs np.nonzero over the whole
+// [n, K] mask once PER indexing op, materializing two [nnz] int64 index
+// temps (~0.8 GB each at 100M nnz) before the gathers -- measured at
+// 49.5 s for the 10M x 10M scale config under its memory pressure
+// (PERF.md round-3 table).  This pass reads cols/vals/valid once and
+// writes indptr/indices/data directly.  The caller allocates indices/data
+// at nnz (= valid.sum()) and must pass the same sign*scale the device
+// transform uses so host and device values agree bit-for-bit.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename T>
+void ell_to_csr_impl(int64_t n, int64_t K, const int32_t* cols,
+                     const T* vals, const bool* valid, T sign_scale,
+                     int64_t* indptr, int32_t* indices, T* data) {
+  int64_t pos = 0;
+  indptr[0] = 0;
+  for (int64_t u = 0; u < n; ++u) {
+    const int32_t* cu = cols + u * K;
+    const T* vu = vals + u * K;
+    const bool* mu = valid + u * K;
+    for (int64_t j = 0; j < K; ++j) {
+      if (mu[j]) {
+        indices[pos] = cu[j];
+        data[pos] = static_cast<T>(vu[j] * sign_scale);
+        ++pos;
+      }
+    }
+    indptr[u + 1] = pos;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void sslap_ell_to_csr_f32(int64_t n, int64_t K, const int32_t* cols,
+                          const float* vals, const bool* valid,
+                          float sign_scale, int64_t* indptr,
+                          int32_t* indices, float* data) {
+  ell_to_csr_impl<float>(n, K, cols, vals, valid, sign_scale, indptr,
+                         indices, data);
+}
+
+void sslap_ell_to_csr_f64(int64_t n, int64_t K, const int32_t* cols,
+                          const double* vals, const bool* valid,
+                          double sign_scale, int64_t* indptr,
+                          int32_t* indices, double* data) {
+  ell_to_csr_impl<double>(n, K, cols, vals, valid, sign_scale, indptr,
+                          indices, data);
+}
+
+void sslap_ell_to_csr_i32(int64_t n, int64_t K, const int32_t* cols,
+                          const int32_t* vals, const bool* valid,
+                          int32_t sign_scale, int64_t* indptr,
+                          int32_t* indices, int32_t* data) {
+  ell_to_csr_impl<int32_t>(n, K, cols, vals, valid, sign_scale, indptr,
+                           indices, data);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Gauss-Seidel forward auction over CSR (transformed maximization values).
 //
 // Used two ways (SURVEY.md SS8 + hybrid design):
