@@ -426,23 +426,34 @@ def scale_smoke(small=False, trunc=2048, feasibility_check=True):
     t_gs = time.perf_counter() - t0
     unassigned = int((sigma < 0).sum())
 
-    # Full eps_min-CS certificate (vectorized host pass over the ELL
-    # image): every row's assigned value within eps_min of its best.
+    # Full eps_min-CS certificate (host pass over the ELL image): every
+    # row's assigned value within eps_min of its best.  The native fused
+    # pass avoids the numpy formulation's five [n, K] temps (~3 GB /
+    # 158 s at 10M x 16); the f32 rounding slack is identical in both:
+    # prices are reconstructed through 2-3 rounded ops per bid, so CS
+    # holds within a few ULPs at the working magnitude (|w| ~ cost_range
+    # + prices); without it the cert flags 1-2-ulp wobbles as violations
+    # (measured: gaps of ~1.1 ulp at |w|~2000).
     t0 = time.perf_counter()
-    vals_t = vals_np * np.float32(tr.sign * tr.scale)
-    w = np.where(valid_np, vals_t - prices[np.asarray(prob.cols)],
-                 np.float32(-np.inf))
-    v1 = w.max(axis=1)
-    cur = np.take_along_axis(
-        w, np.argmax(np.asarray(prob.cols) == sigma[:, None], axis=1)[:, None],
-        axis=1)[:, 0]
-    # f32 rounding slack: prices are reconstructed through 2-3 rounded ops
-    # per bid, so CS holds within a few ULPs at the working magnitude
-    # (|w| ~ cost_range + prices); without this the cert flags 1-2-ulp
-    # wobbles as violations (measured: gaps of ~1.1 ulp at |w|~2000).
-    finite = np.isfinite(w)
-    ulp = float(np.spacing(np.float32(np.abs(w[finite]).max()))) \
-        if finite.any() else 0.0
+    from sslap_tpu.native import eps_cs_stats
+    stats = eps_cs_stats(np.asarray(prob.cols), vals_np, valid_np,
+                         prices, sigma, np.float32(tr.sign * tr.scale)) \
+        if eps_cs_stats is not None else None
+    if stats is not None:
+        v1, cur, a_cur, wmax = stats
+        ulp = float(np.spacing(np.float32(wmax)))
+    else:
+        vals_t = vals_np * np.float32(tr.sign * tr.scale)
+        w = np.where(valid_np, vals_t - prices[np.asarray(prob.cols)],
+                     np.float32(-np.inf))
+        v1 = w.max(axis=1)
+        slot = np.argmax(np.asarray(prob.cols) == sigma[:, None],
+                         axis=1)[:, None]
+        cur = np.take_along_axis(w, slot, axis=1)[:, 0]
+        a_cur = np.take_along_axis(vals_np, slot, axis=1)[:, 0]
+        finite = np.isfinite(w)
+        ulp = float(np.spacing(np.float32(np.abs(w[finite]).max()))) \
+            if finite.any() else 0.0
     # Unassigned rows (sigma = -1) would argmax to slot 0 and fake both the
     # certificate and the objective: count only assigned rows (an
     # incomplete solve already reports soln_found=False + unassigned).
@@ -452,10 +463,7 @@ def scale_smoke(small=False, trunc=2048, feasibility_check=True):
     t_cert = time.perf_counter() - t0
 
     soln_found = unassigned == 0 and bids >= 0
-    obj = float(np.take_along_axis(
-        vals_np, np.argmax(np.asarray(prob.cols) == sigma[:, None],
-                           axis=1)[:, None], axis=1)[:, 0].sum()) \
-        if soln_found else None
+    obj = float(a_cur.sum()) if soln_found else None
     return {"config": "scale", "n": n, "nnz": len(val),
             "soln_found": soln_found,
             "obj": round(obj, 1) if obj is not None else None,

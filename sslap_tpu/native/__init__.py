@@ -17,6 +17,7 @@ if _lib is not None:
         auction_gs,
         build_ell_native,
         ell_to_csr_native,
+        eps_cs_stats,
         hopcroft_karp_native,
         hopcroft_karp_native_i32,
         hopcroft_karp_warm_native,
@@ -29,6 +30,7 @@ else:  # toolchain unavailable: numpy fallbacks are used by callers
     hopcroft_karp_warm_native = None
     build_ell_native = None
     ell_to_csr_native = None
+    eps_cs_stats = None
     auction_gs = None
     unassign_violators_native = None
     rowpack_fill = None

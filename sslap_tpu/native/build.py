@@ -98,6 +98,10 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.sslap_ell_to_csr_i32.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i32p, i32p, b8p,
         ctypes.c_int32, i64p, i32p, i32p]
+    lib.sslap_eps_cs_stats_f32.restype = None
+    lib.sslap_eps_cs_stats_f32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i32p, f32p, b8p, f32p, i32p,
+        ctypes.c_float, f32p, f32p, f32p, f32p]
     lib.sslap_coo_prepare.restype = ctypes.c_int64
     lib.sslap_coo_prepare.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p, i64p]
@@ -245,6 +249,39 @@ def ell_to_csr_native(cols: np.ndarray, vals: np.ndarray,
        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
        _ptr(data, ct))
     return indptr, indices, data
+
+
+def eps_cs_stats(cols: np.ndarray, vals: np.ndarray, valid: np.ndarray,
+                 prices: np.ndarray, sigma: np.ndarray, sign_scale
+                 ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                     np.ndarray, float]]:
+    """Fused eps-CS certificate statistics over the f32 ELL image: per-row
+    (v1, cur, a_orig) + global max |w|, one read of each input and no
+    [n, K] temps (the numpy formulation allocates ~3 GB of them at
+    10M x 16 and measured 158 s, PERF.md round-3 table).  Violation
+    counting and the objective sum stay with the caller so the f32
+    summation semantics match the numpy path exactly.  Returns None when
+    the native library is unavailable or vals is not float32."""
+    lib = load_native()
+    if lib is None or vals.dtype != np.float32:
+        return None
+    n, K = cols.shape
+    cols = np.ascontiguousarray(cols, np.int32)
+    vals = np.ascontiguousarray(vals, np.float32)
+    valid = np.ascontiguousarray(valid, bool)
+    prices = np.ascontiguousarray(prices, np.float32)
+    sigma = np.ascontiguousarray(sigma, np.int32)
+    v1 = np.empty(n, np.float32)
+    cur = np.empty(n, np.float32)
+    a_orig = np.empty(n, np.float32)
+    wmax = np.zeros(1, np.float32)
+    lib.sslap_eps_cs_stats_f32(
+        n, K, _ptr(cols, ctypes.c_int32), _ptr(vals, ctypes.c_float),
+        _ptr(valid, ctypes.c_bool), _ptr(prices, ctypes.c_float),
+        _ptr(sigma, ctypes.c_int32), ctypes.c_float(sign_scale),
+        _ptr(v1, ctypes.c_float), _ptr(cur, ctypes.c_float),
+        _ptr(a_orig, ctypes.c_float), _ptr(wmax, ctypes.c_float))
+    return v1, cur, a_orig, float(wmax[0])
 
 
 def rowpack_fill(cols: np.ndarray, vals: np.ndarray, valid: np.ndarray,

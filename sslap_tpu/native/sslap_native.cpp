@@ -10,6 +10,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC (see build.py).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <numeric>
@@ -375,6 +376,58 @@ void sslap_ell_to_csr_i32(int64_t n, int64_t K, const int32_t* cols,
                           int32_t* indices, int32_t* data) {
   ell_to_csr_impl<int32_t>(n, K, cols, vals, valid, sign_scale, indptr,
                            indices, data);
+}
+
+// ---------------------------------------------------------------------------
+// eps-CS certificate statistics, one fused pass over the ELL image.  For
+// every row u (with w = vals*sign_scale - prices[col] on valid slots,
+// -inf elsewhere) emits:
+//   v1[u]     = max_j w[u, j]
+//   cur[u]    = w[u, slot],  slot = FIRST j with cols[u, j] == sigma[u],
+//               else slot = 0   (matches np.argmax(cols == sigma[:, None]))
+//   a_orig[u] = vals[u, slot]   (untransformed; objective accumulation
+//               stays on the python side so the f32 summation semantics
+//               match the numpy path exactly)
+//   wmax_out  = max |w| over valid slots (for the ULP rounding slack)
+// The numpy formulation allocates five [n, K] temps (~3 GB at 10M x 16)
+// and measured 158 s on the scale config (PERF.md round-3 table); this
+// pass reads each input array once and writes only [n] vectors.
+// ---------------------------------------------------------------------------
+
+void sslap_eps_cs_stats_f32(int64_t n, int64_t K, const int32_t* cols,
+                            const float* vals, const bool* valid,
+                            const float* prices, const int32_t* sigma,
+                            float sign_scale,
+                            float* v1, float* cur, float* a_orig,
+                            float* wmax_out) {
+  float wmax = 0.0f;
+  for (int64_t u = 0; u < n; ++u) {
+    const int32_t* cu = cols + u * K;
+    const float* vu = vals + u * K;
+    const bool* mu = valid + u * K;
+    const int32_t s = sigma[u];
+    float best = -INFINITY;
+    int64_t slot = 0;
+    bool seen = false;
+    for (int64_t j = 0; j < K; ++j) {
+      if (!seen && cu[j] == s) { slot = j; seen = true; }
+      if (mu[j]) {
+        // Two rounded statements (not one expression): blocks FMA
+        // contraction under -O3 so w is bit-identical to the numpy
+        // vals*sign_scale - prices[cols] two-step.
+        const float vt = vu[j] * sign_scale;
+        const float w = vt - prices[cu[j]];
+        if (w > best) best = w;
+        const float aw = std::fabs(w);
+        if (aw > wmax) wmax = aw;
+      }
+    }
+    v1[u] = best;
+    const float vt_slot = vu[slot] * sign_scale;
+    cur[u] = mu[slot] ? vt_slot - prices[cu[slot]] : -INFINITY;
+    a_orig[u] = vu[slot];
+  }
+  *wmax_out = wmax;
 }
 
 }  // extern "C"
