@@ -35,11 +35,17 @@ print('pallas probe:', 'PASS' if ok else f'FAIL [{_bid._last_probe_error}]')
 # 3. Small bench (validates device path end-to-end + headline machinery)
 step bench_small 900 env BENCH_SMALL=1 python bench.py
 
-if [ "$MODE" = "full" ]; then
+if [ "$MODE" = "full" ] || [ "$MODE" = "scale" ]; then
   # 4. Truncation sweep incl. --down (device-pass tuning, VERDICT r2 task 2)
   step sweep_trunc 5400 python benchmarks/sweep_trunc.py --down
   # 5. Full 1M headline bench
   step bench_full 3600 python bench.py
+fi
+
+if [ "$MODE" = "scale" ]; then
+  # 6. 10M x 10M full solve rerun: validates the continuation-II host-stage
+  # rewrites (native CSR/cert, sorted gen) end-to-end at capacity.
+  step scale10m 4500 python benchmarks/run_all.py --config scale
 fi
 
 echo "=== queue done; logs in chip_logs/ ==="
