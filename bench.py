@@ -142,7 +142,11 @@ def main():
             "cpu_steady_s": round(cpu_t, 2),
             "cpu_steady_band": [round(min(cpu_times), 2),
                                 round(max(cpu_times), 2)],
-            "note": "TPU tunnel dead for this run; CPU reference only",
+            "note": "TPU tunnel dead for this run; CPU reference only. "
+                    "Last on-chip round-3 measurements (PERF.md round-3 "
+                    "single-chip table, 2026-08-17, same code path): "
+                    "device pass 4.86 s, e2e ~7.0 s vs CPU steady median "
+                    "10.03 s at 1M x 1M.",
         }))
         return
 
