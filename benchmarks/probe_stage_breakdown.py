@@ -52,9 +52,14 @@ def two_point(run, r1, r2):
 
 def main():
     small = "--small" in sys.argv
+    # --big: diagnose the 10M scale run's device pass (1338 s measured,
+    # ~15x above the weighted gather-cost model, PERF.md round-3) --
+    # capacity-scale n to the scale config's top ladder tiers to see which
+    # stage's ns/elem blows up at multi-million C.
+    big = "--big" in sys.argv
     from sslap_tpu import compact as C
     from sslap_tpu.auction import neg_sentinel, neg_sentinel_value
-    n = m = 2 ** 16 if small else 2 ** 20
+    n = m = 2 ** 16 if small else (2 ** 23 if big else 2 ** 20)
     K = 10
     rng = np.random.default_rng(0)
     cols = jnp.asarray(np.sort(
@@ -120,7 +125,9 @@ def main():
         return round_fn
 
     results = {}
-    for Ccap in (256, 1024, 4096, 8192, 16384):
+    caps = ((65536, 524288, 2097152, 8388608) if big
+            else (256, 1024, 4096, 8192, 16384))
+    for Ccap in caps:
         ids0 = jnp.asarray(np.sort(
             rng.choice(n, Ccap, replace=False)).astype(np.int32))
         reps = max(2, min(400, int(3e8 // (Ccap * K))))

@@ -43,7 +43,11 @@ if [ "$MODE" = "full" ] || [ "$MODE" = "scale" ]; then
 fi
 
 if [ "$MODE" = "scale" ]; then
-  # 6. 10M x 10M full solve rerun: validates the continuation-II host-stage
+  # 6. Stage breakdown at multi-million tier capacities: find where the
+  # scale run's device pass (1338 s, ~15x above the gather-cost model)
+  # actually goes.
+  step probe_big 3600 python benchmarks/probe_stage_breakdown.py --big
+  # 7. 10M x 10M full solve rerun: validates the continuation-II host-stage
   # rewrites (native CSR/cert, sorted gen) end-to-end at capacity.
   step scale10m 4500 python benchmarks/run_all.py --config scale
 fi
