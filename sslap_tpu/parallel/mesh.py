@@ -14,16 +14,23 @@ from typing import Optional, Sequence
 import numpy as np
 import jax
 from jax.experimental import mesh_utils
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> None:
     """jax.distributed.initialize wrapper for multi-host pods.  No-op when
-    already initialized or single-process (SURVEY.md SS6 T8)."""
-    if jax.process_count() > 1:
-        return
+    already initialized or single-process (SURVEY.md SS6 T8).
+
+    Deliberately does NOT call jax.process_count() to detect prior
+    initialization: that call BOOTS the local backend, after which
+    distributed initialization is impossible -- the original no-op guard
+    here silently broke every later collective (found by the two-process
+    Gloo simulation, benchmarks/multiproc_sim.py)."""
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -31,7 +38,40 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
             process_id=process_id,
         )
     except (RuntimeError, ValueError):
-        pass  # already initialized or single-process launch
+        # Auto-detection on a single-process launch legitimately fails;
+        # an EXPLICIT multi-process request must not fail silently.
+        if coordinator_address is not None:
+            raise
+
+
+def put_global(x, mesh: Mesh, spec: PartitionSpec):
+    """Place a host array that is IDENTICAL on every process onto ``mesh``
+    with an explicit sharding.
+
+    Single-process: returns ``x`` unchanged -- jit's default commit path
+    handles placement and an eager device_put would only add a transfer.
+    Multi-process: jit cannot auto-commit a host array onto a mesh that
+    spans processes, so each process device_puts the full (identical)
+    global array and jax slices out this process's addressable shards.
+    """
+    if jax.process_count() == 1:
+        return x
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def fetch_global(x) -> np.ndarray:
+    """Full host numpy value of a global jax.Array.
+
+    Replicated or single-process arrays convert directly.  A
+    cross-process row-sharded array is materialized via
+    ``multihost_utils.process_allgather`` -- a COLLECTIVE: every process
+    must call this on the same arrays in the same order (the SPMD rule
+    all of parallel/ already follows).
+    """
+    if jax.process_count() == 1 or getattr(x, "is_fully_replicated", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
@@ -44,9 +84,17 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     n_local = len(jax.local_devices())
     n_total = len(jax.devices())
     if jax.process_count() > 1 and n_total > n_local:
-        dev = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(n_local,),
-            dcn_mesh_shape=(jax.process_count(),),
-        )
-        return Mesh(dev.reshape(-1), (axis_name,))
+        try:
+            dev = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(n_local,),
+                dcn_mesh_shape=(jax.process_count(),),
+            )
+            return Mesh(dev.reshape(-1), (axis_name,))
+        except ValueError:
+            # Backends whose devices carry no slice_index (e.g. the
+            # multi-process CPU simulation): jax.devices() is already
+            # process-major, which keeps intra-process neighbors adjacent
+            # on the 1-D axis -- the same ICI-first ordering the hybrid
+            # helper produces.
+            pass
     return Mesh(np.asarray(jax.devices()), (axis_name,))

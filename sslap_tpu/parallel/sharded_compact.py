@@ -643,7 +643,7 @@ def auction_solve_sharded_hybrid(
     from sslap_tpu import api as _api
     from sslap_tpu import feasibility as _feas
     from sslap_tpu import hybrid as _hybrid
-    from sslap_tpu.parallel.mesh import make_mesh
+    from sslap_tpu.parallel.mesh import make_mesh, put_global, fetch_global
     from sslap_tpu.parallel.partition import pad_rows_for_mesh
 
     t0 = time.perf_counter()
@@ -708,6 +708,24 @@ def auction_solve_sharded_hybrid(
     p0 = (np.zeros((m,), vdtype) if warm_prices is None
           else _auction.validate_warm_prices(warm_prices, m).astype(vdtype))
 
+    # Multi-process meshes ("multi-host"): every process runs this entire
+    # function SPMD on identical host inputs (same instance, same seeds);
+    # jit cannot auto-commit host arrays onto a process-spanning mesh, so
+    # inputs get explicit global placement here and the row-sharded sigma
+    # comes back via a process_allgather.  The host GS tail below then runs
+    # REDUNDANTLY on every process (it is deterministic on replicated
+    # inputs), which keeps the SPMD symmetry without a broadcast.
+    e0, e_min = np.asarray(e0, vdtype), np.asarray(e_min, vdtype)
+    if jax.process_count() > 1:
+        data_arr = put_global(data_arr, mesh, P(axis_name))
+        nvalid_pad = put_global(nvalid_pad, mesh, P(axis_name))
+        p0 = put_global(p0, mesh, P())
+        # Scalar operands need the same explicit replicated placement:
+        # jit cannot commit process-local scalars onto this mesh either.
+        e0, e_min, theta_v, max_iter, bigp, trunc_v = (
+            put_global(np.asarray(v), mesh, P())
+            for v in (e0, e_min, theta_v, max_iter, bigp, trunc_v))
+
     t_dev0 = time.perf_counter()
     res, tier_rounds = _solve_sharded_tiered_jit(
         data_arr, nvalid_pad, p0, e0, e_min, theta_v, max_iter, bigp,
@@ -719,7 +737,7 @@ def auction_solve_sharded_hybrid(
     # through ctypes, and np.asarray would alias JAX's read-only cached
     # value (hybrid.py makes the same copy for the same reason).
     prices = np.array(res.prices)
-    sigma = np.asarray(res.sigma)[:n].copy()
+    sigma = fetch_global(res.sigma)[:n].copy()
     dev_rounds = int(np.asarray(res.rounds))
     t_dev = time.perf_counter() - t_dev0
 
