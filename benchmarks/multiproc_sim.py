@@ -92,16 +92,24 @@ def worker(args) -> int:
     assert jax.process_count() == args.nproc, "distributed init failed"
 
     import numpy as np
-    from sslap_tpu.parallel.sharded_compact import (
-        auction_solve_sharded_hybrid)
 
     loc, val = build_instance(args.n, args.k, args.seed)
     mesh = make_mesh()
+    common = dict(loc=loc, val=val, shape=(args.n, args.n), problem="min",
+                  mesh=mesh)
     t0 = time.perf_counter()
-    sol = auction_solve_sharded_hybrid(
-        loc=loc, val=val, shape=(args.n, args.n), problem="min",
-        mesh=mesh, trunc=args.trunc, overlap=args.overlap,
-        ladder_balance=args.ladder_balance)
+    if args.backend == "hybrid":
+        from sslap_tpu.parallel.sharded_compact import (
+            auction_solve_sharded_hybrid)
+        sol = auction_solve_sharded_hybrid(
+            trunc=args.trunc, overlap=args.overlap,
+            ladder_balance=args.ladder_balance, **common)
+    elif args.backend == "sharded":
+        from sslap_tpu.parallel.sharded import auction_solve_sharded
+        sol = auction_solve_sharded(**common)
+    else:
+        from sslap_tpu.parallel.overlap import auction_solve_overlapped
+        sol = auction_solve_overlapped(**common)
     solve_s = time.perf_counter() - t0
 
     want = scipy_objective(loc, val, args.n)
@@ -110,6 +118,7 @@ def worker(args) -> int:
         and abs(float(got) - want) < 1e-6
     report = {
         "ok": ok,
+        "backend": args.backend,
         "n": args.n,
         "nnz": int(loc.shape[0]),
         "nproc": args.nproc,
@@ -119,9 +128,10 @@ def worker(args) -> int:
         "scipy_obj": want,
         "rounds": sol.meta["its"],
         "phases": sol.meta["phases"],
-        "tier_rounds": sol.meta["tier_rounds"],
-        "comm_bytes_total": sol.meta["comm_bytes_total"],
-        "comm_bytes_fullwidth_equiv": sol.meta["comm_bytes_fullwidth_equiv"],
+        "tier_rounds": sol.meta.get("tier_rounds"),
+        "comm_bytes_total": sol.meta.get("comm_bytes_total"),
+        "comm_bytes_fullwidth_equiv": sol.meta.get(
+            "comm_bytes_fullwidth_equiv"),
         "overlap": args.overlap,
         "ladder_balance": args.ladder_balance,
         "solve_s": round(solve_s, 3),
@@ -146,7 +156,8 @@ def launcher(args) -> int:
                "--n", str(args.n), "--k", str(args.k),
                "--nproc", str(args.nproc),
                "--local-devices", str(args.local_devices),
-               "--trunc", str(args.trunc), "--seed", str(args.seed)]
+               "--trunc", str(args.trunc), "--seed", str(args.seed),
+               "--backend", args.backend]
         if args.overlap:
             cmd.append("--overlap")
         if args.ladder_balance:
@@ -179,6 +190,8 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=12)
     ap.add_argument("--nproc", type=int, default=2)
     ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--backend", default="hybrid",
+                    choices=("hybrid", "sharded", "overlapped"))
     ap.add_argument("--trunc", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--overlap", action="store_true")

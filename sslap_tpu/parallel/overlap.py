@@ -139,11 +139,16 @@ def solve_ell_overlapped(
     dtype = prob_vals_t.dtype
     n_local = n_pad // n_shards
 
-    eps0_ = jnp.maximum(jnp.asarray(eps0, dtype), jnp.asarray(eps_min, dtype))
-    eps_min_ = jnp.asarray(eps_min, dtype)
-    theta_ = jnp.asarray(theta, dtype)
-    max_iter_ = jnp.asarray(max_iter, jnp.int32)
-    bigp_ = jnp.asarray(bigp, dtype)
+    # numpy (not jnp) closure constants: these are baked into the trace,
+    # and eager jnp scalars would be process-local device buffers -- a
+    # placement error on a process-spanning mesh.
+    np_dtype = np.dtype(dtype)
+    eps0_ = np.maximum(np.asarray(eps0, np_dtype),
+                       np.asarray(eps_min, np_dtype))
+    eps_min_ = np.asarray(eps_min, np_dtype)
+    theta_ = np.asarray(theta, np_dtype)
+    max_iter_ = np.asarray(max_iter, np.int32)
+    bigp_ = np.asarray(bigp, np_dtype)
 
     def run(cols, vals_t, valid, nvalid, p0_rep):
         shard = lax.axis_index(axis_name)
@@ -205,7 +210,13 @@ def solve_ell_overlapped(
             phases=spec_rep, final_eps=spec_rep, unassigned=spec_rep),
         check_vma=False,
     )
-    return jax.jit(fn)(prob_cols, prob_vals_t, prob_valid, prob_nvalid, p0)
+    args = (prob_cols, prob_vals_t, prob_valid, prob_nvalid, p0)
+    if jax.process_count() > 1:
+        from sslap_tpu.parallel.mesh import put_global
+        specs = (spec_rows, spec_rows, spec_rows, spec_rows, spec_rep)
+        args = tuple(put_global(np.asarray(a), mesh, s)
+                     for a, s in zip(args, specs))
+    return jax.jit(fn)(*args)
 
 
 def auction_solve_overlapped(
@@ -288,7 +299,8 @@ def auction_solve_overlapped(
         jnp.asarray(prob_p.cols), jnp.asarray(vals_t),
         jnp.asarray(prob_p.valid), jnp.asarray(prob_p.nvalid),
         mesh, p0, e0, e_min, theta_v, max_iter, bigp, axis_name=axis_name)
-    sol = np.asarray(res.sigma)[:n_real]
+    from sslap_tpu.parallel.mesh import fetch_global
+    sol = fetch_global(res.sigma)[:n_real]
     t1 = time.perf_counter()
     n_empty = int((np.asarray(prob.nvalid) == 0).sum())
     unassigned = int(np.asarray(res.unassigned)) + n_empty

@@ -110,7 +110,15 @@ def sharded_solve_ell(
         check_vma=False,  # prices/owner replicas provably identical: the
         # commit consumes only collective-combined (best, winner)
     )
-    return jax.jit(fn)(prob.cols, vals_t, prob.valid, prob.nvalid, p0)
+    args = (prob.cols, vals_t, prob.valid, prob.nvalid, p0)
+    if jax.process_count() > 1:
+        # Process-spanning mesh: jit cannot auto-commit host (or
+        # process-local device) arrays -- place explicitly (mesh.put_global).
+        from sslap_tpu.parallel.mesh import put_global
+        specs = (spec_rows, spec_rows, spec_rows, spec_rows, spec_rep)
+        args = tuple(put_global(np.asarray(a), mesh, s)
+                     for a, s in zip(args, specs))
+    return jax.jit(fn)(*args)
 
 
 def auction_solve_sharded(
@@ -205,7 +213,8 @@ def auction_solve_sharded(
     # n_real only drives the implicit-dummy count m - n_real, unchanged.
     res = sharded_solve_ell(prob_p, vals_t, mesh, p0, e0, e_min, theta_v,
                             max_iter, bigp, n_real, axis_name=axis_name)
-    sol_p = np.asarray(res.sigma)
+    from sslap_tpu.parallel.mesh import fetch_global
+    sol_p = fetch_global(res.sigma)
     if row_order is None:
         sol = sol_p[:n_real]
     else:

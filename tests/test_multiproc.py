@@ -19,7 +19,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER = os.path.join(REPO, "benchmarks", "multiproc_sim.py")
 
 
-def run_sim(*extra, timeout=420):
+def run_sim(*extra, timeout=600):
     env = dict(os.environ)
     # The workers pin their own platform/device-count; drop the pytest
     # conftest's 8-device flag so each worker's --local-devices wins.
@@ -47,4 +47,13 @@ def test_two_process_overlap_and_balanced_ladder():
     rep = run_sim("--overlap", "--ladder-balance")
     assert rep["ok"] is True
     assert rep["overlap"] is True and rep["ladder_balance"] is True
+    assert rep["obj"] == rep["scipy_obj"]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("backend", ["sharded", "overlapped"])
+def test_two_process_fullwidth_backends(backend):
+    rep = run_sim("--backend", backend, "--n", "256")
+    assert rep["ok"] is True
+    assert rep["backend"] == backend
     assert rep["obj"] == rep["scipy_obj"]
