@@ -93,6 +93,40 @@ def worker(args) -> int:
 
     import numpy as np
 
+    if args.backend == "batched":
+        # DP over instances (T9): batch axis sharded across the processes.
+        from sslap_tpu import ingest
+        from sslap_tpu.batch import auction_solve_batched, stack_problems
+        B = args.nproc * args.local_devices * 2
+        probs, oracles = [], []
+        for b in range(B):
+            loc, val = build_instance(args.n, args.k, args.seed + b)
+            probs.append(ingest.from_coo(loc, val, shape=(args.n, args.n),
+                                         pad_to=args.k + 8))
+            oracles.append(scipy_objective(loc, val, args.n))
+        mesh = make_mesh(axis_name="batch")
+        t0 = time.perf_counter()
+        sols, metas = auction_solve_batched(stack_problems(probs),
+                                            mesh=mesh, mode="device")
+        solve_s = time.perf_counter() - t0
+        objs = [mt["obj"] for mt in metas]
+        ok = all(mt["soln_found"] for mt in metas) and all(
+            o is not None and abs(float(o) - w) < 1e-6
+            for o, w in zip(objs, oracles))
+        report = {
+            "ok": ok, "backend": "batched", "n": args.n, "B": B,
+            "nproc": args.nproc,
+            "devices_per_proc": args.local_devices,
+            "objs_match": sum(float(o) == w
+                              for o, w in zip(objs, oracles)),
+            "solve_s": round(solve_s, 3),
+        }
+        if args.worker == 0:
+            print(json.dumps(report), flush=True)
+        else:
+            print(f"[worker {args.worker}] ok={ok}", flush=True)
+        return 0 if ok else 1
+
     loc, val = build_instance(args.n, args.k, args.seed)
     mesh = make_mesh()
     common = dict(loc=loc, val=val, shape=(args.n, args.n), problem="min",
@@ -191,7 +225,7 @@ def main() -> int:
     ap.add_argument("--nproc", type=int, default=2)
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--backend", default="hybrid",
-                    choices=("hybrid", "sharded", "overlapped"))
+                    choices=("hybrid", "sharded", "overlapped", "batched"))
     ap.add_argument("--trunc", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--overlap", action="store_true")

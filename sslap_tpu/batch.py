@@ -185,19 +185,13 @@ def auction_solve_batched(
             sols_parts.append(s_part)
             metas.extend(m_part)
         return np.concatenate(sols_parts, axis=0), metas
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        if B % mesh.shape[batch_axis] != 0:
-            raise ValueError(
-                f"batch size {B} must divide evenly over the "
-                f"{mesh.shape[batch_axis]}-way '{batch_axis}' mesh axis")
-        sh = NamedSharding(mesh, P(batch_axis))
-        cols = jax.device_put(np.asarray(cols), sh)
-        vals = jax.device_put(np.asarray(vals), sh)
-        valid = jax.device_put(np.asarray(valid), sh)
-        nvalid = jax.device_put(np.asarray(nvalid), sh)
+    # Host copies FIRST: transform constants, objectives, and per-instance
+    # metas all read these, and once the arrays are placed on a
+    # process-spanning mesh they are no longer host-convertible.
+    cols_np = np.asarray(cols)
     vals_np = np.asarray(vals)
     valid_np = np.asarray(valid)
+    nvalid_np = np.asarray(nvalid)
     vmax_abs = float(np.abs(vals_np[valid_np]).max()) if valid_np.any() else 0.0
     tr = _auction.make_transform(problem, prob.m, vals_np.dtype, vmax_abs)
     e0, e_min, theta_v = _auction.default_eps_schedule(
@@ -205,31 +199,44 @@ def auction_solve_batched(
         eps_min=eps_min, eps_start=eps_start, theta=theta)
     if max_iter is None:
         max_iter = _auction.default_max_iter(prob.n)
-    if warm_prices is None:
-        p0 = jnp.zeros((B, prob.m), vals_np.dtype)
-    else:
-        p0 = jnp.asarray(warm_prices, vals_np.dtype)
+    # Transform host-side (bit-identical to tr.apply's in-jit multiply) so
+    # the mesh path can place the already-transformed values.
+    vals_t = vals_np * np.asarray(tr.sign * tr.scale, vals_np.dtype)
+    p0 = (np.zeros((B, prob.m), vals_np.dtype) if warm_prices is None
+          else np.asarray(warm_prices, vals_np.dtype))
+    args = (cols_np, vals_t, valid_np, nvalid_np, p0)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        p0 = jax.device_put(np.asarray(p0), NamedSharding(mesh, P(batch_axis)))
-    res = _batched_solve_jit(cols, tr.apply(vals), valid, nvalid, p0,
-                             e0, e_min, theta_v, max_iter, prob.n)
-    sols = np.asarray(res.sigma)
+        if B % mesh.shape[batch_axis] != 0:
+            raise ValueError(
+                f"batch size {B} must divide evenly over the "
+                f"{mesh.shape[batch_axis]}-way '{batch_axis}' mesh axis")
+        sh = NamedSharding(mesh, P(batch_axis))
+        args = tuple(jax.device_put(a, sh) for a in args)
+    res = _batched_solve_jit(*args, e0, e_min, theta_v, max_iter, prob.n)
+    # Every per-instance result field is batch-sharded; fetch_global is a
+    # process_allgather on multi-process meshes, plain np.asarray otherwise.
+    from sslap_tpu.parallel.mesh import fetch_global
+    sols = fetch_global(res.sigma)
+    rounds_np = fetch_global(res.rounds)
+    phases_np = fetch_global(res.phases)
+    final_eps_np = fetch_global(res.final_eps)
+    unassigned_np = fetch_global(res.unassigned)
     t1 = time.perf_counter()
     metas = []
     from sslap_tpu.api import _objective_host
     for b in range(B):
-        sub = ELLProblem(cols=cols[b], vals=vals[b], valid=valid[b],
-                         nvalid=nvalid[b], n=prob.n, m=prob.m,
+        sub = ELLProblem(cols=cols_np[b], vals=vals_np[b], valid=valid_np[b],
+                         nvalid=nvalid_np[b], n=prob.n, m=prob.m,
                          int_exact=prob.int_exact)
-        unassigned = (int(np.asarray(res.unassigned)[b])
-                      + int((np.asarray(nvalid[b]) == 0).sum()))
+        unassigned = (int(unassigned_np[b])
+                      + int((nvalid_np[b] == 0).sum()))
         metas.append({
             "obj": _objective_host(sub, sols[b]) if unassigned == 0 else None,
-            "its": int(np.asarray(res.rounds)[b]),
-            "phases": int(np.asarray(res.phases)[b]),
+            "its": int(rounds_np[b]),
+            "phases": int(phases_np[b]),
             "soln_found": unassigned == 0,
-            "final_eps": float(np.asarray(res.final_eps)[b]) / tr.scale,
+            "final_eps": float(final_eps_np[b]) / tr.scale,
             "unassigned": unassigned,
             "time": t1 - t0,
         })

@@ -57,3 +57,10 @@ def test_two_process_fullwidth_backends(backend):
     assert rep["ok"] is True
     assert rep["backend"] == backend
     assert rep["obj"] == rep["scipy_obj"]
+
+
+@pytest.mark.slow
+def test_two_process_batched_dp():
+    rep = run_sim("--backend", "batched", "--n", "128")
+    assert rep["ok"] is True
+    assert rep["objs_match"] == rep["B"]
