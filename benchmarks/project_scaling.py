@@ -36,7 +36,17 @@ Projection per round regime at d shards:
 Collectives: ring all-reduce 2*(d-1)/d * bytes / BW + L; all-gather
 (d-1) * bytes_per_shard / BW + L.  BW/L swept over a grid bracketing
 public v5e ICI figures (per-chip ICI O(100) GB/s, microsecond-scale
-collective latency).
+collective latency) plus a DCN-scale 100 us row.
+
+Model validation against a REAL transport (round-3 continuation III):
+the additive-latency collective model was cross-checked against the
+two-process Gloo runs (benchmarks/multiproc_sim.py, n=4096, 8 shards).
+Measured per-collective boundary cost 3.0 ms (loopback Gloo); predicted
+variable delta for the trunc=0 solve = 12,908 narrow rounds x 3.0 ms =
+38.7 s; measured 38.3 s (after the ~10 s fixed cross-client
+compile/init cost, itself measured at trunc=128).  The latency term the
+whole projection hinges on is right to ~1% on the one non-simulated
+transport available here.
 
 Run: python benchmarks/project_scaling.py
 """
@@ -100,7 +110,7 @@ def main():
         print(hdr)
         for d in (2, 4, 8):
             for bw in (45, 90):
-                for lat in (2, 10):
+                for lat in (2, 10, 100):
                     _, td, _, eff = row(d, bw, lat, b)
                     _, tb, _, effb = row(d, bw, lat, b, balanced=True)
                     print(f"{d:>3} {bw:>5} {lat:>5} {td:>7.2f} "
