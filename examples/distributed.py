@@ -18,6 +18,14 @@ an 8-virtual-device CPU mesh, the same trick the test suite uses.  On a
 real slice, drop the platform override and `make_mesh()` picks up all
 local devices (multi-host: `initialize_multihost()` first).
 
+Multi-HOST launch pattern: run the identical script once per host (SPMD),
+calling `initialize_multihost(coordinator, num_processes, process_id)`
+before the first device query; every solver below then works unchanged --
+input placement and result gathering across processes happen inside
+(`parallel.mesh.put_global` / `fetch_global`).  A runnable two-process
+demonstration (real cross-client Gloo collectives on one box) is
+`python benchmarks/multiproc_sim.py`.
+
 Run:  python examples/distributed.py
 """
 
