@@ -140,7 +140,7 @@ def worker(args) -> int:
             ladder_balance=args.ladder_balance, **common)
     elif args.backend == "sharded":
         from sslap_tpu.parallel.sharded import auction_solve_sharded
-        sol = auction_solve_sharded(**common)
+        sol = auction_solve_sharded(instrument=args.instrument, **common)
     else:
         from sslap_tpu.parallel.overlap import auction_solve_overlapped
         sol = auction_solve_overlapped(**common)
@@ -170,6 +170,10 @@ def worker(args) -> int:
         "ladder_balance": args.ladder_balance,
         "solve_s": round(solve_s, 3),
     }
+    if args.instrument:
+        report.update({k: sol.meta[k] for k in
+                       ("round_s", "compute_s", "comm_s", "comm_fraction")
+                       if k in sol.meta})
     if args.worker == 0:
         print(json.dumps(report), flush=True)
     else:
@@ -196,6 +200,8 @@ def launcher(args) -> int:
             cmd.append("--overlap")
         if args.ladder_balance:
             cmd.append("--ladder-balance")
+        if args.instrument:
+            cmd.append("--instrument")
         procs.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, cwd=os.path.dirname(os.path.dirname(
@@ -230,6 +236,9 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--overlap", action="store_true")
     ap.add_argument("--ladder-balance", action="store_true")
+    ap.add_argument("--instrument", action="store_true",
+                    help="sharded backend: attach the comm/compute "
+                         "breakdown (cross-process collective timing)")
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument("--worker", type=int, default=None,
                     help="internal: SPMD worker process id")

@@ -106,6 +106,12 @@ def _timed_rounds(prob: ELLProblem, vals_t, mesh: Mesh, eps, bigp,
         check_vma=False,
     ))
     args = (prob.cols, vals_t, prob.valid, prob.nvalid)
+    if jax.process_count() > 1:
+        # Process-spanning mesh: place inputs explicitly (the timed output
+        # is replicated, so the scalar fetch below works everywhere).
+        from sslap_tpu.parallel.mesh import put_global
+        args = tuple(put_global(np.asarray(a), mesh, spec_rows)
+                     for a in args)
     float(np.asarray(fn(*args)))          # compile + warm
     best = float("inf")
     for _ in range(2):
