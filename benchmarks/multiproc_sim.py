@@ -117,7 +117,7 @@ def worker(args) -> int:
             "ok": ok, "backend": "batched", "n": args.n, "B": B,
             "nproc": args.nproc,
             "devices_per_proc": args.local_devices,
-            "objs_match": sum(float(o) == w
+            "objs_match": sum(o is not None and float(o) == w
                               for o, w in zip(objs, oracles)),
             "solve_s": round(solve_s, 3),
         }
@@ -207,9 +207,11 @@ def launcher(args) -> int:
             text=True, cwd=os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))))
     rc = 0
+    deadline = time.monotonic() + args.timeout  # total budget, all workers
     try:
         for pid, p in enumerate(procs):
-            out, _ = p.communicate(timeout=args.timeout)
+            out, _ = p.communicate(
+                timeout=max(1.0, deadline - time.monotonic()))
             if pid == 0 or p.returncode != 0:
                 sys.stdout.write(out)
             rc |= p.returncode

@@ -28,9 +28,16 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     distributed initialization is impossible -- the original no-op guard
     here silently broke every later collective (found by the two-process
     Gloo simulation, benchmarks/multiproc_sim.py)."""
-    from jax._src import distributed as _dist
-    if getattr(_dist.global_state, "client", None) is not None:
-        return  # already initialized
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None:
+        if is_init():
+            return
+    else:  # older jax: same check via the private state, without booting
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            return
+    explicit = (coordinator_address is not None or num_processes is not None
+                or process_id is not None)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -40,7 +47,7 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     except (RuntimeError, ValueError):
         # Auto-detection on a single-process launch legitimately fails;
         # an EXPLICIT multi-process request must not fail silently.
-        if coordinator_address is not None:
+        if explicit:
             raise
 
 
@@ -59,16 +66,31 @@ def put_global(x, mesh: Mesh, spec: PartitionSpec):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
+def put_global_args(mesh: Mesh, specs, args):
+    """``put_global`` over an argument tuple (one spec per arg).  The ONE
+    placement path every distributed backend shares: single-process
+    returns ``args`` unchanged; multi-process converts each to host numpy
+    first (eager jnp operands are process-local buffers)."""
+    if jax.process_count() == 1:
+        return tuple(args)
+    return tuple(put_global(np.asarray(a), mesh, s)
+                 for a, s in zip(args, specs, strict=True))
+
+
 def fetch_global(x) -> np.ndarray:
     """Full host numpy value of a global jax.Array.
 
-    Replicated or single-process arrays convert directly.  A
-    cross-process row-sharded array is materialized via
+    Single-process, replicated, or fully-addressable arrays convert
+    directly (an allgather of a fully-addressable array would concatenate
+    every process's full copy -- nproc x too large).  Only an array that
+    actually SPANS processes goes through
     ``multihost_utils.process_allgather`` -- a COLLECTIVE: every process
     must call this on the same arrays in the same order (the SPMD rule
     all of parallel/ already follows).
     """
-    if jax.process_count() == 1 or getattr(x, "is_fully_replicated", True):
+    if (jax.process_count() == 1
+            or getattr(x, "is_fully_replicated", True)
+            or getattr(x, "is_fully_addressable", False)):
         return np.asarray(x)
     from jax.experimental import multihost_utils
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -210,12 +210,10 @@ def solve_ell_overlapped(
             phases=spec_rep, final_eps=spec_rep, unassigned=spec_rep),
         check_vma=False,
     )
-    args = (prob_cols, prob_vals_t, prob_valid, prob_nvalid, p0)
-    if jax.process_count() > 1:
-        from sslap_tpu.parallel.mesh import put_global
-        specs = (spec_rows, spec_rows, spec_rows, spec_rows, spec_rep)
-        args = tuple(put_global(np.asarray(a), mesh, s)
-                     for a, s in zip(args, specs))
+    from sslap_tpu.parallel.mesh import put_global_args
+    args = put_global_args(
+        mesh, (spec_rows, spec_rows, spec_rows, spec_rows, spec_rep),
+        (prob_cols, prob_vals_t, prob_valid, prob_nvalid, p0))
     return jax.jit(fn)(*args)
 
 

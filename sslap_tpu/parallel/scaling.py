@@ -105,13 +105,11 @@ def _timed_rounds(prob: ELLProblem, vals_t, mesh: Mesh, eps, bigp,
         out_specs=P(),
         check_vma=False,
     ))
-    args = (prob.cols, vals_t, prob.valid, prob.nvalid)
-    if jax.process_count() > 1:
-        # Process-spanning mesh: place inputs explicitly (the timed output
-        # is replicated, so the scalar fetch below works everywhere).
-        from sslap_tpu.parallel.mesh import put_global
-        args = tuple(put_global(np.asarray(a), mesh, spec_rows)
-                     for a in args)
+    # Process-spanning meshes need explicit placement (the timed output is
+    # replicated, so the scalar fetch below works everywhere).
+    from sslap_tpu.parallel.mesh import put_global_args
+    args = put_global_args(mesh, (spec_rows,) * 4,
+                           (prob.cols, vals_t, prob.valid, prob.nvalid))
     float(np.asarray(fn(*args)))          # compile + warm
     best = float("inf")
     for _ in range(2):

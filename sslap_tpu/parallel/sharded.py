@@ -110,14 +110,11 @@ def sharded_solve_ell(
         check_vma=False,  # prices/owner replicas provably identical: the
         # commit consumes only collective-combined (best, winner)
     )
-    args = (prob.cols, vals_t, prob.valid, prob.nvalid, p0)
-    if jax.process_count() > 1:
-        # Process-spanning mesh: jit cannot auto-commit host (or
-        # process-local device) arrays -- place explicitly (mesh.put_global).
-        from sslap_tpu.parallel.mesh import put_global
-        specs = (spec_rows, spec_rows, spec_rows, spec_rows, spec_rep)
-        args = tuple(put_global(np.asarray(a), mesh, s)
-                     for a, s in zip(args, specs))
+    # Process-spanning meshes need explicit placement (no-op otherwise).
+    from sslap_tpu.parallel.mesh import put_global_args
+    args = put_global_args(
+        mesh, (spec_rows, spec_rows, spec_rows, spec_rows, spec_rep),
+        (prob.cols, vals_t, prob.valid, prob.nvalid, p0))
     return jax.jit(fn)(*args)
 
 

@@ -643,7 +643,8 @@ def auction_solve_sharded_hybrid(
     from sslap_tpu import api as _api
     from sslap_tpu import feasibility as _feas
     from sslap_tpu import hybrid as _hybrid
-    from sslap_tpu.parallel.mesh import make_mesh, put_global, fetch_global
+    from sslap_tpu.parallel.mesh import (make_mesh, put_global_args,
+                                         fetch_global)
     from sslap_tpu.parallel.partition import pad_rows_for_mesh
 
     t0 = time.perf_counter()
@@ -715,16 +716,14 @@ def auction_solve_sharded_hybrid(
     # comes back via a process_allgather.  The host GS tail below then runs
     # REDUNDANTLY on every process (it is deterministic on replicated
     # inputs), which keeps the SPMD symmetry without a broadcast.
+    # Scalars need explicit replicated placement too on process-spanning
+    # meshes: jit cannot commit process-local values onto such a mesh.
     e0, e_min = np.asarray(e0, vdtype), np.asarray(e_min, vdtype)
-    if jax.process_count() > 1:
-        data_arr = put_global(data_arr, mesh, P(axis_name))
-        nvalid_pad = put_global(nvalid_pad, mesh, P(axis_name))
-        p0 = put_global(p0, mesh, P())
-        # Scalar operands need the same explicit replicated placement:
-        # jit cannot commit process-local scalars onto this mesh either.
-        e0, e_min, theta_v, max_iter, bigp, trunc_v = (
-            put_global(np.asarray(v), mesh, P())
-            for v in (e0, e_min, theta_v, max_iter, bigp, trunc_v))
+    (data_arr, nvalid_pad, p0, e0, e_min, theta_v, max_iter, bigp,
+     trunc_v) = put_global_args(
+        mesh, (P(axis_name), P(axis_name)) + (P(),) * 7,
+        (data_arr, nvalid_pad, p0, e0, e_min, theta_v, max_iter, bigp,
+         trunc_v))
 
     t_dev0 = time.perf_counter()
     res, tier_rounds = _solve_sharded_tiered_jit(

@@ -19,14 +19,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER = os.path.join(REPO, "benchmarks", "multiproc_sim.py")
 
 
-def run_sim(*extra, timeout=600):
+def run_sim(*extra, timeout=900):
     env = dict(os.environ)
     # The workers pin their own platform/device-count; drop the pytest
     # conftest's 8-device flag so each worker's --local-devices wins.
     env.pop("XLA_FLAGS", None)
+    # Inner launcher timeout < outer timeout: on a worker hang the
+    # launcher must get to kill the workers and print their output tails
+    # before pytest's own TimeoutExpired cuts everything off.
     out = subprocess.run(
         [sys.executable, DRIVER, "--n", "512", "--k", "8",
-         "--local-devices", "2", "--trunc", "64", *extra],
+         "--local-devices", "2", "--trunc", "64", "--timeout", "600",
+         *extra],
         capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO)
     assert out.returncode == 0, f"stdout:\n{out.stdout[-4000:]}"
     line = [ln for ln in out.stdout.splitlines()
