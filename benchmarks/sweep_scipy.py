@@ -24,6 +24,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The docstring's "runs on the host path when no TPU answers" promise
+# needs the (opt-in) auto-mode liveness gate: without it, auto routes the
+# 1M cell to the device and a dead relayed backend HANGS the sweep.
+os.environ.setdefault("SSLAP_TPU_AUTO_LIVENESS", "1")
+
 
 def _sparse_case(n, k, seed):
     from benchmarks.run_all import make_sparse
