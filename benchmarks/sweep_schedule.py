@@ -1,54 +1,118 @@
-"""Sweep eps-schedule theta and hybrid trunc on the 1M bench instance.
-Both are traced scalars -- no recompilation per setting, so the whole grid
-runs in minutes.  Usage: python benchmarks/sweep_schedule.py [n]"""
+"""(theta, eps0) schedule sweep scored by the DEVICE COST MODEL.
 
+The eps schedule's work profile (round histogram, host-tail bids) is an
+algorithmic property of the instance -- platform-independent (validated
+at d = 1/8/16, PERF.md round-3 continuation) -- so it can be tuned on the
+CPU sim and the win transfers to the chip.  Each cell runs the production
+hybrid solve and scores it with PERF.md round-3's measured constants:
+
+    device_s ~ sum_i tier_rounds[i] * capacity_i * K * 7.2 ns   (gathers)
+             + total_rounds * 15 us                             (dispatch)
+    host_s   ~ host_bids * 0.24 us                              (GS tail)
+
+(capacity_0 = n covers the phase-start/bulk full-width rounds; the
+per-element constant folds the fetch+bid+resolve+commit chain at its
+measured 18-22 ns per C*K ~ 2.5x the bare 7.2 ns gather -- we use the
+bare-gather floor consistently across cells, so RELATIVE ordering is
+what this sweep reads, not absolute seconds.)
+
+Run: python benchmarks/sweep_schedule.py [--n 65536] [--k 10] [--seeds 2]
+"""
+
+import argparse
+import json
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+GATHER_NS = 7.2e-9
+ROUND_S = 15e-6
+BID_S = 0.24e-6
 
 
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+def model_seconds(meta, tiers, n, K):
+    caps = [n] + list(tiers)
+    tr = meta["tier_rounds"]
+    dev = sum(r * c for r, c in zip(tr, caps)) * K * GATHER_NS
+    dev += sum(tr) * ROUND_S
+    return dev + meta["host_bids"] * BID_S, dev
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    from bench import make_instance
-    from sslap_tpu import ingest
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=65536)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--thetas", type=float, nargs="*",
+                    default=[3, 5, 10, 20, 40])
+    ap.add_argument("--e0divs", type=float, nargs="*",
+                    default=[2, 32, 512])
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from benchmarks.run_all import make_sparse
+    from sslap_tpu import compact
     from sslap_tpu.hybrid import solve_hybrid
+    from sslap_tpu import ingest
 
-    rr, cc, vv = make_instance(n, n, 9, seed=0)
-    prob = ingest.from_coo(np.stack([rr, cc], 1), vv, shape=(n, n))
-    log(f"instance: {n}x{n} nnz={prob.nnz} K={prob.K}")
+    n, K = args.n, args.k
+    tiers = compact.default_tiers(n)[1:]   # [0] is n itself
+    probs = []
+    for s in range(args.seeds):
+        loc, val = make_sparse(n, n, K, seed=40 + s)
+        probs.append(ingest.from_coo(loc, val, shape=(n, n)))
 
-    solve_hybrid(prob)    # compile warm
-    best = None
-    for theta in (5.0, 10.0, 20.0, 40.0):
-        for trunc in (256, 1024, 4096):
-            t0 = time.perf_counter()
-            sig, _, meta = solve_hybrid(prob, theta=theta, trunc=trunc)
-            dt = time.perf_counter() - t0
-            ok = meta["soln_found"]
-            log(f"theta={theta:5.1f} trunc={trunc:5d}: e2e={dt:6.2f}s "
-                f"device={meta['device_time']:6.2f}s "
-                f"gs={meta['host_gs_time']:5.2f}s rounds={meta['its']:6d} "
-                f"host_bids={meta['host_bids']:9d} ok={ok}")
-            log(f"   tiers={meta['tier_rounds']}")
-            if ok and (best is None or dt < best[0]):
-                best = (dt, theta, trunc)
-    log(f"BEST: e2e={best[0]:.2f}s theta={best[1]} trunc={best[2]}")
+    results = []
+    for theta in args.thetas:
+        for div in args.e0divs:
+            tot, devtot, bids, failed = 0.0, 0.0, 0, False
+            for prob in probs:
+                vmax = float(np.abs(np.asarray(prob.vals))[
+                    np.asarray(prob.valid)].max())
+                _, _, meta = solve_hybrid(
+                    prob, mode="hybrid", theta=theta,
+                    eps_start=vmax / div)
+                if not meta["soln_found"]:
+                    # Legitimate outcome, not a harness bug: a tiny eps0
+                    # makes the first phase's eviction chains enormous and
+                    # the max_iter valve trips.  Score the cell unusable.
+                    failed = True
+                    break
+                t, d = model_seconds(meta, tiers, n, K)
+                tot += t
+                devtot += d
+                bids += meta["host_bids"]
+            cell = {"theta": theta, "e0_div": div,
+                    "model_s": (float("inf") if failed
+                                else round(tot / args.seeds, 4)),
+                    "model_device_s": (None if failed else
+                                       round(devtot / args.seeds, 4)),
+                    "host_bids": None if failed else bids // args.seeds,
+                    "max_iter_trip": failed}
+            results.append(cell)
+            print(json.dumps(cell), flush=True)
+
+    best = min(results, key=lambda c: c["model_s"])
+    # The shipped default for this n (device_theta_default, e0 = c/2).
+    from sslap_tpu.auction import device_theta_default
+    th_def = device_theta_default(n)
+    ref = [c for c in results
+           if c["theta"] == th_def and c["e0_div"] == 2]
+    print("---", file=sys.stderr)
+    print(f"default (theta={th_def}, e0=c/2): "
+          f"{ref[0]['model_s'] if ref else 'not in grid'} s",
+          file=sys.stderr)
+    print(f"best: theta={best['theta']} e0=c/{best['e0_div']} "
+          f"-> {best['model_s']} s", file=sys.stderr)
+    if ref:
+        print(f"gain vs default: "
+              f"{(1 - best['model_s'] / ref[0]['model_s']) * 100:.1f}%",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
