@@ -71,12 +71,15 @@ def main():
     for theta in args.thetas:
         for div in args.e0divs:
             tot, devtot, bids, failed = 0.0, 0.0, 0, False
+            wall = {"device_time": 0.0, "host_gs_time": 0.0, "time": 0.0}
             for prob in probs:
                 vmax = float(np.abs(np.asarray(prob.vals))[
                     np.asarray(prob.valid)].max())
                 _, _, meta = solve_hybrid(
                     prob, mode="hybrid", theta=theta,
                     eps_start=vmax / div)
+                for k in wall:
+                    wall[k] += float(meta.get(k) or 0.0)
                 if not meta["soln_found"]:
                     # Legitimate outcome, not a harness bug: a tiny eps0
                     # makes the first phase's eviction chains enormous and
@@ -93,7 +96,14 @@ def main():
                     "model_device_s": (None if failed else
                                        round(devtot / args.seeds, 4)),
                     "host_bids": None if failed else bids // args.seeds,
-                    "max_iter_trip": failed}
+                    "max_iter_trip": failed,
+                    # Real wall splits (meaningful on-chip; on the CPU sim
+                    # they are sim-speed, use model_s for decisions there).
+                    "wall_device_s": round(wall["device_time"]
+                                           / args.seeds, 3),
+                    "wall_gs_s": round(wall["host_gs_time"]
+                                       / args.seeds, 3),
+                    "wall_e2e_s": round(wall["time"] / args.seeds, 3)}
             results.append(cell)
             print(json.dumps(cell), flush=True)
 

@@ -38,6 +38,12 @@ step bench_small 900 env BENCH_SMALL=1 python bench.py
 if [ "$MODE" = "full" ] || [ "$MODE" = "scale" ]; then
   # 4. Truncation sweep incl. --down (device-pass tuning, VERDICT r2 task 2)
   step sweep_trunc 5400 python benchmarks/sweep_trunc.py --down
+  # 4b. theta A/B at the headline size: the CPU-sim cost-model sweep
+  # (sweep_schedule, round-3 continuation III) says theta in {3,5,7}
+  # beats the shipped theta=10 ~2x end-to-end because the GS-tail bid
+  # count collapses; wall_device_s / wall_gs_s / wall_e2e_s decide.
+  step theta_ab 3600 python benchmarks/sweep_schedule.py --n 1048576 \
+    --seeds 1 --thetas 3 5 7 10 --e0divs 2
   # 5. Full 1M headline bench
   step bench_full 3600 python bench.py
 fi
