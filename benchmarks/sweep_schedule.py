@@ -50,6 +50,9 @@ def main():
                     default=[3, 5, 10, 20, 40])
     ap.add_argument("--e0divs", type=float, nargs="*",
                     default=[2, 32, 512])
+    ap.add_argument("--bench-instance", action="store_true",
+                    help="use bench.py's exact generator/seed (the "
+                         "headline instance) instead of run_all.make_sparse")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +67,13 @@ def main():
     tiers = compact.default_tiers(n)[1:]   # [0] is n itself
     probs = []
     for s in range(args.seeds):
-        loc, val = make_sparse(n, n, K, seed=40 + s)
+        if args.bench_instance:
+            import bench
+            rr, cc, vv = bench.make_instance(n, n, K - 1, seed=s)
+            loc = np.stack([rr, cc], axis=1)
+            val = vv
+        else:
+            loc, val = make_sparse(n, n, K, seed=40 + s)
         probs.append(ingest.from_coo(loc, val, shape=(n, n)))
 
     results = []
