@@ -38,12 +38,16 @@ step bench_small 900 env BENCH_SMALL=1 python bench.py
 if [ "$MODE" = "full" ] || [ "$MODE" = "scale" ]; then
   # 4. Truncation sweep incl. --down (device-pass tuning, VERDICT r2 task 2)
   step sweep_trunc 5400 python benchmarks/sweep_trunc.py --down
-  # 4b. theta A/B at the headline size: the CPU-sim cost-model sweep
-  # (sweep_schedule, round-3 continuation III) says theta in {3,5,7}
-  # beats the shipped theta=10 ~2x end-to-end because the GS-tail bid
-  # count collapses; wall_device_s / wall_gs_s / wall_e2e_s decide.
-  step theta_ab 3600 python benchmarks/sweep_schedule.py --n 1048576 \
-    --seeds 1 --thetas 3 5 7 10 --e0divs 2
+  # 4b. theta A/B at the headline size (sweep_schedule, round-3 cont. III).
+  # CPU-sim harness findings (counts reproduce the chip's 5.9M tail bids
+  # exactly): on the bench instance theta=10 is fine (theta=3 model edge
+  # 7%, within noise), but on a sibling make_sparse instance theta=10's
+  # tail explodes to 44M bids while theta=3 stays ~1-2M -- theta=10 is
+  # instance-FRAGILE.  wall_e2e_s on both instances decides the default.
+  step theta_ab_bench 3600 python benchmarks/sweep_schedule.py \
+    --n 1000000 --seeds 1 --thetas 3 5 10 --e0divs 2 --bench-instance
+  step theta_ab_sib 3600 python benchmarks/sweep_schedule.py \
+    --n 1000000 --seeds 1 --thetas 3 5 10 --e0divs 2
   # 5. Full 1M headline bench
   step bench_full 3600 python bench.py
 fi
