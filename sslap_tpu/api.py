@@ -158,7 +158,7 @@ class AuctionSolver:
             raise ValueError(f"unknown mode {mode!r}")
         self.mode = mode
         self.keep_assignment = keep_assignment
-        if engine not in ("auto", "compact", "candidates"):
+        if engine not in ("auto", "compact", "candidates", "dense"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
         self.prices: Optional[np.ndarray] = None
@@ -248,15 +248,58 @@ class AuctionSolver:
         # ~0.3 s through this tunnel (run_all config 1, round 2).
         return "cpu"
 
-    def _resolve_engine(self) -> str:
+    def _resolve_engine(self, mode: Optional[str] = None,
+                        warm: bool = False) -> str:
         if self.engine != "auto":
             return self.engine
+        # Auto never picks 'dense' for a warm-started solve: the dense
+        # engine's phase warm starts are internal and it rejects
+        # warm_prices -- auto must not break the uniform warm contract.
+        if mode == "hybrid" and not warm:
+            # Dense-dominated instances stream ~20x cheaper as dense
+            # [C, m] device rounds than as per-entry ELL gathers (PERF.md
+            # config-3 analysis; dense 4096^2 round 0.165 ms measured) --
+            # the batched dense engine serves B=1 through the same path.
+            from sslap_tpu import dense_batch as _db
+            prob = self.problem_spec
+            nnz = int(np.asarray(prob.nvalid).sum())
+            if (nnz * 4 >= prob.n * prob.m
+                    and _db.dense_hybrid_available(prob)):
+                return "dense"
         # Measured (PERF.md round-2 engine A/B at 1M): the kappa-shortlist
         # engine loses to exact compact rounds on this stack -- stale-tau
         # certification fails en masse at phase starts and floods the
         # rescan backlog (device 40.8 s vs 11.9 s).  compact is the
         # default everywhere; 'candidates' stays available explicitly.
         return "compact"
+
+    def _solve_dense_hybrid(self, prob, t0, warm_prices) -> "AuctionSolution":
+        """Single instance through the batched dense-chunk engine (B=1):
+        dense [1, n, m] device rounds + one native GS tail.  The dense
+        meta already folds empty rows into ``unassigned`` and computes
+        the exact objective host-side."""
+        if warm_prices is not None:
+            raise ValueError(
+                "engine='dense' does not support warm_prices (its phase "
+                "warm starts are internal); use the default engine")
+        from sslap_tpu import dense_batch as _db
+        from sslap_tpu.batch import stack_problems
+        if not _db.dense_hybrid_available(prob):
+            raise ValueError(
+                "engine='dense' needs a square f32/int32 problem with "
+                "n <= 16384 and the native toolchain")
+        sols, metas, prices = _db.solve_batched_dense_hybrid(
+            stack_problems([prob]), problem=self.problem,
+            eps_start=self.eps_start, eps_min=self.eps_min,
+            theta=(5.0 if self.theta is None else self.theta),
+            max_iter=self.max_iter, return_prices=True)
+        self.prices = prices[0]
+        # meta 'mode' stays the REQUESTED mode (the API contract every
+        # test and caller keys on); the engine is disclosed separately.
+        self.meta = dict(metas[0], mode="hybrid", engine="dense",
+                         time=time.perf_counter() - t0)
+        return AuctionSolution(sol=sols[0], meta=self.meta,
+                               prices=self.prices)
 
     def solve(self, warm_prices=None) -> AuctionSolution:
         prob = self.problem_spec
@@ -293,7 +336,13 @@ class AuctionSolver:
         if mode in ("hybrid", "cpu"):
             from sslap_tpu import hybrid as _hybrid
             n_empty = int((np.asarray(prob.nvalid) == 0).sum())
-            engine = self._resolve_engine()
+            engine = self._resolve_engine(mode, warm=warm_prices is not None)
+            if engine == "dense":
+                if mode != "hybrid":
+                    raise ValueError(
+                        "engine='dense' runs dense device rounds with a "
+                        "native GS tail -- it requires mode='hybrid'")
+                return self._solve_dense_hybrid(prob, t0, warm_prices)
             try:
                 sol, prices, hmeta = _hybrid.solve_hybrid(
                     prob, problem=self.problem, eps_start=self.eps_start,
@@ -339,9 +388,14 @@ class AuctionSolver:
             # compact.py (exact scans) or candidate.py (kappa-shortlist
             # rounds at wide tiers); round cost scales with the live
             # active set instead of O(n*K) either way.
+            engine = self._resolve_engine()
+            if engine == "dense":
+                raise ValueError(
+                    "engine='dense' runs dense device rounds with a "
+                    "native GS tail -- it requires mode='hybrid'")
             res = _solve_tiered_jit(prob.cols, vals_t, prob.valid,
                                     prob.nvalid, p0, e0, e_min, theta,
-                                    max_iter, engine=self._resolve_engine())
+                                    max_iter, engine=engine)
         else:
             # keep_assignment=False (reference-style reset-per-phase) has no
             # tiered equivalent -- the tiered driver's phase-start round IS

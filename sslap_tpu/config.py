@@ -38,8 +38,8 @@ class AuctionConfig:
                                          # |'sharded'|'overlapped'
     keep_assignment: bool = True         # warm-started eps phases
     dtype: Optional[object] = None       # force device dtype
-    engine: str = "auto"                 # square device engine:
-                                         # 'auto'|'compact'|'candidates'
+    engine: str = "auto"                 # square device engine: 'auto'|
+                                         # 'compact'|'candidates'|'dense'
 
     def __post_init__(self):
         if self.problem not in ("min", "max"):
@@ -50,7 +50,7 @@ class AuctionConfig:
         if self.mode not in ("auto", "device", "hybrid", "cpu",
                              "sharded", "overlapped", "sharded_hybrid"):
             raise ValueError(f"unknown mode {self.mode!r}")
-        if self.engine not in ("auto", "compact", "candidates"):
+        if self.engine not in ("auto", "compact", "candidates", "dense"):
             raise ValueError(f"unknown engine {self.engine!r}")
 
     def solver_kwargs(self) -> dict:

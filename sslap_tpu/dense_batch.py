@@ -177,11 +177,15 @@ def solve_batched_dense_hybrid(
     trunc: int = 128,
     chunk: Optional[int] = None,
     dense_budget_bytes: int = 2 << 30,
+    return_prices: bool = False,
 ):
     """Batched square instances via dense device chunks + native GS tails.
 
     Returns (sols [B, n] numpy int32, metas list) with the same meta
-    contract as batch.auction_solve_batched.
+    contract as batch.auction_solve_batched; with ``return_prices=True``
+    additionally returns the final transformed-domain price vectors
+    [B, m] (third tuple element) -- the single-instance ``engine='dense'``
+    API path exposes them on the AuctionSolution like every other mode.
     """
     from sslap_tpu import hybrid as _hybrid
     assert prob.cols.ndim == 3, "expected batched ELLProblem"
@@ -229,6 +233,7 @@ def solve_batched_dense_hybrid(
     np.cumsum(counts.sum(axis=1), out=inst_off[1:])
 
     sols = np.full((B, n), -1, np.int32)
+    prices_out = np.zeros((B, m), dtype) if return_prices else None
     metas = []
     dev_s = 0.0
     gs_s = 0.0
@@ -293,6 +298,8 @@ def solve_batched_dense_hybrid(
             eps_reached = bool(eps_h[i] <= e_min_h)
             soln_found = unassigned == 0 and bids >= 0 and eps_reached
             sols[b] = sigma_b
+            if return_prices:
+                prices_out[b] = prices_b
             metas.append({
                 "obj": None,
                 "its": int(rounds_h[i]),
@@ -318,4 +325,6 @@ def solve_batched_dense_hybrid(
         mt["time"] = total
         mt["device_time"] = dev_s + dispatch_s
         mt["host_gs_time"] = gs_s
+    if return_prices:
+        return sols, metas, prices_out
     return sols, metas

@@ -48,6 +48,25 @@ if [ "$MODE" = "full" ] || [ "$MODE" = "scale" ]; then
     --n 1000000 --seeds 1 --thetas 3 5 10 --e0divs 2 --bench-instance
   step theta_ab_sib 3600 python benchmarks/sweep_schedule.py \
     --n 1000000 --seeds 1 --thetas 3 5 10 --e0divs 2
+  # 4c. Dense-engine A/B at 4096 (sweep_scipy dense cell loses 6.7x on
+  # the host path; the dense device rounds should flip it -- measured
+  # 0.165 ms per 4096^2 round).
+  step dense_ab 1800 python -c "
+import numpy as np, time
+from scipy.optimize import linear_sum_assignment
+from sslap_tpu import auction_solve
+rng = np.random.default_rng(0)
+C = (rng.random((4096, 4096)) * 999 + 1).astype(np.float32)
+r = auction_solve(C, mode='hybrid', engine='dense')   # compile
+t0 = time.perf_counter(); r = auction_solve(C, mode='hybrid', engine='dense')
+ours = time.perf_counter() - t0
+t0 = time.perf_counter(); rr, cc = linear_sum_assignment(C)
+scipy_s = time.perf_counter() - t0
+want = float(C[rr, cc].astype(np.float64).sum())
+print(f'dense4096: ours={ours:.3f}s scipy={scipy_s:.3f}s '
+      f'speedup={scipy_s/ours:.2f}x exact={abs(r[\"meta\"][\"obj\"]-want)<1e-3} '
+      f'meta_dev={r[\"meta\"][\"device_time\"]:.3f} gs={r[\"meta\"][\"host_gs_time\"]:.3f}')
+"
   # 5. Full 1M headline bench
   step bench_full 3600 python bench.py
 fi
