@@ -94,6 +94,11 @@ def one_case(seed):
     card = rng.random() < 0.3
     # every mode returns warm-startable 'prices' (round-3 contract)
     warm = rng.random() < 0.25
+    # dense engine: square hybrid, no warm (it rejects warm_prices by
+    # contract); auto-engine also reaches it implicitly on dense cases
+    if (engine is None and mode == "hybrid" and square and not warm
+            and rng.random() < 0.3):
+        engine = "dense"
     infeasible = rng.random() < 0.10
 
     scen = (f"seed={seed} n={n} m={m} dens={density:.2f} "
