@@ -184,17 +184,30 @@ def main():
     # phase-start tier's capacity is n.
     device_s = meta.get("device_time", 0.0)
     achieved_gbps = None
+    touched_gbps = None
     if "tier_rounds" in meta and device_s > 0:
         from sslap_tpu.compact import default_tiers
         K = solver.problem_spec.K
         W = 2 * K + 1
+        R = max(128 // W, 1)
         caps = [n] + list(default_tiers(n))
         tr = meta["tier_rounds"]
+        # USEFUL bytes (conservative numerator): packed row W ints + K
+        # price gathers per active-row fetch.
         dev_bytes = sum(r * c * (W + K) * 4 for r, c in zip(tr, caps))
+        # TOUCHED bytes: fetch_rows gathers the whole 128-lane line
+        # (R*W ints) per row and selects the R-slot on the VPU, so the
+        # memory system moves R*W + K ints per fetch -- the honest
+        # numerator for an achieved-vs-HBM-spec fraction.
+        dev_bytes_touched = sum(r * c * (R * W + K) * 4
+                                for r, c in zip(tr, caps))
         achieved_gbps = dev_bytes / device_s / 1e9
-        log(f"device pass: {dev_bytes/1e9:.2f} GB streamed in "
-            f"{device_s:.2f}s -> {achieved_gbps:.1f} GB/s achieved "
-            f"({achieved_gbps/819*100:.1f}% of v5e HBM spec)")
+        touched_gbps = dev_bytes_touched / device_s / 1e9
+        log(f"device pass: {dev_bytes/1e9:.2f} GB useful "
+            f"({dev_bytes_touched/1e9:.2f} GB touched) in "
+            f"{device_s:.2f}s -> {achieved_gbps:.1f} GB/s useful, "
+            f"{touched_gbps:.1f} GB/s touched "
+            f"({touched_gbps/819*100:.1f}% of v5e HBM spec)")
 
     # Honest headline (VERDICT.md rounds 1-2): the reported value is the
     # TPU (hybrid) path's end-to-end nnz/s; vs_baseline = median CPU /
@@ -223,6 +236,8 @@ def main():
         "host_gs_s": round(meta.get("host_gs_time", 0.0), 2),
         "device_achieved_gbps": (round(achieved_gbps, 2)
                                  if achieved_gbps else None),
+        "device_touched_gbps": (round(touched_gbps, 2)
+                                if touched_gbps else None),
         "sol_fraction": round(nnz_per_s / stream_bound_nnz_s, 6),
     }))
 
