@@ -286,6 +286,56 @@ def config5(small=False):
                     "pod scaling numbers need >=2 hosts"}
 
 
+def scale_sharded(small=False):
+    """BASELINE config 5 at FULL scale: 10M x 10M through the sharded
+    hybrid on every available device (the 8-virtual-device CPU mesh in
+    tests; a real slice on hardware).  config5's 200k row validates the
+    design; this row validates it AT config-5 size -- 19-tier interleaved
+    ladder compile, ~1 GB RowPack per replica set, active-set-
+    proportional collectives, GS tail at 10M.
+
+    Oracle: objective vs the native host GS solve of the same instance.
+    Float costs, so both are eps_min-optimal rather than identical;
+    the gap bound is n * eps_min and the row reports the measured
+    relative gap (integer-exact parity is covered by the 1M tests)."""
+    import jax
+    from sslap_tpu.parallel import auction_solve_sharded_hybrid, make_mesh
+    from sslap_tpu import auction_solve
+    n = m = 1_000_000 if small else 10_000_000
+    t0 = time.perf_counter()
+    loc, val = make_sparse(n, m, 10, seed=5)
+    t_gen = time.perf_counter() - t0
+    mesh = make_mesh()
+    t0 = time.perf_counter()
+    res = auction_solve_sharded_hybrid(loc=loc, val=val, shape=(n, m),
+                                       mesh=mesh, cardinality_check=False)
+    dt = time.perf_counter() - t0
+    meta = res["meta"]
+    t0 = time.perf_counter()
+    host = auction_solve(loc=loc, val=val, shape=(n, m), mode="cpu",
+                         cardinality_check=False)
+    dt_host = time.perf_counter() - t0
+    gap = (abs(meta["obj"] - host["meta"]["obj"])
+           / max(abs(host["meta"]["obj"]), 1.0)
+           if meta["obj"] is not None and host["meta"]["obj"] is not None
+           else None)
+    return {"config": "scale_sharded", "n": n,
+            "devices": int(mesh.shape["rows"]),
+            "gen_s": round(t_gen, 1),
+            "time": round(dt, 1),
+            "device_time": round(meta["device_time"], 1),
+            "host_gs_time": round(meta["host_gs_time"], 1),
+            "rounds": meta["its"], "phases": meta["phases"],
+            "host_bids": meta["host_bids"],
+            "soln_found": meta["soln_found"],
+            "tier_rounds": meta["tier_rounds"],
+            "comm_bytes_total": meta["comm_bytes_total"],
+            "comm_bytes_fullwidth_equiv":
+                meta["comm_bytes_fullwidth_equiv"],
+            "host_oracle_s": round(dt_host, 1),
+            "obj_rel_gap_vs_host": gap}
+
+
 def sol_calibration(small=False):
     """Speed-of-light: stream the config-4 ELL layout (cols+vals read,
     row-max written) and report achieved bytes/s (BASELINE.md calibration).
@@ -489,7 +539,8 @@ def scale_smoke(small=False, trunc=2048, feasibility_check=True):
 
 
 CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4,
-           "5": config5, "sol": sol_calibration, "scale": scale_smoke}
+           "5": config5, "sol": sol_calibration, "scale": scale_smoke,
+           "scale_sharded": scale_sharded}
 
 
 def main():
@@ -497,7 +548,19 @@ def main():
     ap.add_argument("--config", choices=list(CONFIGS), default=None)
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--cpu-sim", action="store_true",
+                    help="pin an 8-virtual-device CPU mesh (the test-suite "
+                         "trick) -- for running mesh configs on a box whose "
+                         "TPU tunnel is down; env vars alone are too late "
+                         "because sitecustomize imports jax at startup")
     args = ap.parse_args()
+    if args.cpu_sim:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     keys = list(CONFIGS) if args.all else [args.config or "1"]
     for k in keys:
         out = CONFIGS[k](small=args.small)
