@@ -1,0 +1,465 @@
+"""Micro-probes for the GS kernel's Mosaic primitives (round 3 cont.).
+
+The GS kernel (ops/gs_kernel.py) compiles on this stack but dies at
+runtime with "TPU backend error (Internal)".  Each probe below isolates
+one primitive the kernel relies on; each runs in a SUBPROCESS (a bad
+lowering has wedged the tunnel before).  Usage:
+
+    python benchmarks/probe_mosaic_gs.py            # all probes
+    python benchmarks/probe_mosaic_gs.py dma_hbm    # one, in-process
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBES = {}
+
+
+def probe(fn):
+    PROBES[fn.__name__] = fn
+    return fn
+
+
+def _mk():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    return jax, jnp, lax, pl, pltpu
+
+
+@probe
+def dma_hbm_dynrows():
+    """HBM [lines,128] -> VMEM scratch: 2-row DMA at a DYNAMIC row offset
+    (the GS kernel's line fetch), static scratch offset."""
+    jax, jnp, lax, pl, pltpu = _mk()
+
+    def k(s_ref, hbm, out, scr, sem):
+        l0 = s_ref[0]
+        cp = pltpu.make_async_copy(hbm.at[pl.ds(l0, 2)], scr.at[pl.ds(0, 2)],
+                                   sem)
+        cp.start()
+        cp.wait()
+        out[:] = scr[pl.ds(0, 2)]
+
+    x = jnp.arange(64 * 128, dtype=jnp.int32).reshape(64, 128)
+    out = pl.pallas_call(
+        k,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+    )(jnp.array([5], jnp.int32), x)
+    assert (out == x[5:7]).all(), "wrong rows"
+
+
+@probe
+def dma_vmem_dynoff2():
+    """Same DMA but the VMEM scratch TARGET offset is dynamic and NOT a
+    sublane-tile multiple (slot*2 with slot=1)."""
+    jax, jnp, lax, pl, pltpu = _mk()
+
+    def k(s_ref, hbm, out, scr, sem):
+        l0 = s_ref[0]
+        slot = s_ref[1]
+        cp = pltpu.make_async_copy(hbm.at[pl.ds(l0, 2)],
+                                   scr.at[pl.ds(slot * 2, 2)], sem)
+        cp.start()
+        cp.wait()
+        out[:] = jnp.concatenate(
+            [scr[slot * 2 + j].reshape(1, 128) for j in range(2)], axis=0)
+
+    x = jnp.arange(64 * 128, dtype=jnp.int32).reshape(64, 128)
+    out = pl.pallas_call(
+        k,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+    )(jnp.array([5, 1], jnp.int32), x)
+    assert (out == x[5:7]).all(), "wrong rows"
+
+
+@probe
+def dma_vmem_dynoff8():
+    """Same but the dynamic target offset is 8-aligned (slot*8)."""
+    jax, jnp, lax, pl, pltpu = _mk()
+
+    def k(s_ref, hbm, out, scr, sem):
+        l0 = s_ref[0]
+        slot = s_ref[1]
+        cp = pltpu.make_async_copy(hbm.at[pl.ds(l0, 2)],
+                                   scr.at[pl.ds(slot * 8, 2)], sem)
+        cp.start()
+        cp.wait()
+        out[:] = jnp.concatenate(
+            [scr[slot * 8 + j].reshape(1, 128) for j in range(2)], axis=0)
+
+    x = jnp.arange(64 * 128, dtype=jnp.int32).reshape(64, 128)
+    out = pl.pallas_call(
+        k,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((16, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+    )(jnp.array([5, 1], jnp.int32), x)
+    assert (out == x[5:7]).all(), "wrong rows"
+
+
+@probe
+def lane_read_write():
+    """Rank-1 VMEM window read (one-hot reduce) + blend store at dynamic
+    indices.  REJECTED on this stack: the prover wants rank-1 dynamic
+    slices aligned to the full vreg (512/1024 elems), not 128 -- kept as
+    the negative probe."""
+    jax, jnp, lax, pl, pltpu = _mk()
+
+    def k(s_ref, vec_in, vec_io, out):
+        del vec_in
+        lane2d = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        idx = s_ref[0]
+        base = (idx // 128) * 128
+        row = vec_io[pl.ds(base, 128)].reshape(1, 128)
+        val = jnp.sum(jnp.where(lane2d == idx - base, row, 0))
+        widx = s_ref[1]
+        wbase = (widx // 128) * 128
+        wrow = vec_io[pl.ds(wbase, 128)].reshape(1, 128)
+        vec_io[pl.ds(wbase, 128)] = jnp.where(
+            lane2d == widx - wbase, val * 7, wrow).reshape(128)
+        out[0] = val
+
+    x = jnp.arange(512, dtype=jnp.int32)
+    vec_o, out = pl.pallas_call(
+        k,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((512,), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        input_output_aliases={1: 0},
+    )(jnp.array([300, 37], jnp.int32), x)
+    assert int(out[0]) == 300, f"read {out[0]}"
+    assert int(vec_o[37]) == 2100, f"write {vec_o[37]}"
+
+
+@probe
+def lane_read_write_2d():
+    """2-D [rows, 128] table: dynamic-row load + one-hot lane reduce, and
+    dynamic-row blend store (the bid kernel's proven primitives)."""
+    jax, jnp, lax, pl, pltpu = _mk()
+
+    def k(s_ref, vec_in, vec_io, out):
+        del vec_in
+        lane2d = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        idx = s_ref[0]
+        r = idx // 128
+        row = vec_io[r].reshape(1, 128)
+        val = jnp.sum(jnp.where(lane2d == idx - r * 128, row, 0))
+        widx = s_ref[1]
+        wr = widx // 128
+        wrow = vec_io[wr].reshape(1, 128)
+        vec_io[wr] = jnp.where(
+            lane2d == widx - wr * 128, val * 7, wrow).reshape(128)
+        out[0] = val
+
+    x = jnp.arange(512, dtype=jnp.int32).reshape(4, 128)
+    vec_o, out = pl.pallas_call(
+        k,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((4, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        input_output_aliases={1: 0},
+    )(jnp.array([300, 37], jnp.int32), x)
+    assert int(out[0]) == 300, f"read {out[0]}"
+    assert int(vec_o[0, 37]) == 2100, f"write {vec_o[0, 37]}"
+
+
+@probe
+def while_double_buffer():
+    """while_loop-driven alternating double-buffer DMA with data-dependent
+    row ids (the GS kernel's pump), incl. conditional prefetch."""
+    jax, jnp, lax, pl, pltpu = _mk()
+    N = 16
+
+    def k(s_ref, hbm, out, scr, sem):
+        n = s_ref[0]
+
+        def copies(slot, r):
+            return pltpu.make_async_copy(
+                hbm.at[pl.ds(r * 2, 2)], scr.at[pl.ds(slot * 8, 2)],
+                sem.at[slot])
+
+        copies(0, 0).start()
+
+        def cond(c):
+            i, slot, acc = c
+            return i < n
+
+        def body(c):
+            i, slot, acc = c
+
+            @pl.when(i + 1 < n)
+            def _():
+                copies(1 - slot, i + 1).start()
+
+            copies(slot, i).wait()
+            row = scr[slot * 8].reshape(1, 128)
+            acc = acc + jnp.sum(row)
+            return i + 1, 1 - slot, acc
+
+        _, _, acc = lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+        out[0] = acc
+
+    x = jnp.ones((N * 2, 128), jnp.int32)
+    out = pl.pallas_call(
+        k,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((16, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.array([N], jnp.int32), x)
+    assert int(out[0]) == N * 128, f"acc {out[0]}"
+
+
+@probe
+def gs_small_noprefetch():
+    """GS kernel with serial (start+wait per bid) DMA -- isolates the
+    double-buffer prefetch interplay from the rest of the kernel."""
+    _gs_run(prefetch=False)
+
+
+@probe
+def gs_small():
+    """The actual GS kernel, 32x32, compiled (not interpret)."""
+    _gs_run(prefetch=True)
+
+
+def _gs_run(prefetch=True):
+    import numpy as np
+    import jax.numpy as jnp
+    from sslap_tpu.ops.gs_kernel import gs_auction_device
+    rng = np.random.default_rng(3)
+    n = m = 32
+    K = 4
+    cols = np.sort(rng.integers(0, m, (n, K)), axis=1).astype(np.int32)
+    # Ensure a perfect matching exists: include the diagonal.
+    cols[:, 0] = np.arange(n)
+    cols = np.sort(cols, axis=1)
+    vals = (rng.random((n, K)) * 10).astype(np.float32)
+    bigp = 12.0
+    cap = n + 1
+    queue = np.full(cap, -1, np.int32)
+    queue[:n] = np.arange(n)
+    prices, owner, _, bids, left = gs_auction_device(
+        jnp.asarray(cols), jnp.asarray(vals), jnp.asarray(queue), n,
+        jnp.zeros(m, jnp.float32), jnp.full((m,), -1, jnp.int32),
+        0.5, bigp, 10 ** 6, prefetch=prefetch)
+    assert int(left) == 0, f"left={left}"
+    assert int(bids) >= n, f"bids={bids}"
+    assert (np.sort(np.asarray(owner)) == np.arange(n)).all()
+
+
+
+
+@probe
+def while_qtable_dma():
+    """while_loop where the DMA row id comes from a VMEM queue table via
+    one-hot lane_read (data-dependent DMA index), 1-D semaphore."""
+    jax, jnp, lax, pl, pltpu = _mk()
+    N = 12
+
+    def k(s_ref, hbm, q_in, q_io, out, scr, sem):
+        del q_in
+        n = s_ref[0]
+        lane2d = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def qread(i):
+            r = i // 128
+            row = q_io[r].reshape(1, 128)
+            return jnp.sum(jnp.where(lane2d == i - r * 128, row, 0))
+
+        def cond(c):
+            i, acc = c
+            return i < n
+
+        def body(c):
+            i, acc = c
+            rid = qread(i)
+            cp = pltpu.make_async_copy(hbm.at[pl.ds(rid * 2, 2)],
+                                       scr.at[pl.ds(0, 2)], sem)
+            cp.start()
+            cp.wait()
+            acc = acc + jnp.sum(scr[0].reshape(1, 128))
+            return i + 1, acc
+
+        _, acc = lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+        out[0] = acc
+
+    hbm = jnp.ones((64, 128), jnp.int32)
+    q = jnp.concatenate([jnp.arange(N, dtype=jnp.int32)[::-1],
+                         jnp.zeros(128 - N, jnp.int32)]).reshape(1, 128)
+    q_o, out = pl.pallas_call(
+        k,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        input_output_aliases={2: 0},
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.array([N], jnp.int32), hbm, q)
+    assert int(out[0]) == N * 128, f"acc {out[0]}"
+
+
+@probe
+def while_qtable_dma_store():
+    """= while_qtable_dma + a blend_store into the queue table mid-loop
+    (push) that later iterations re-read."""
+    jax, jnp, lax, pl, pltpu = _mk()
+    N = 12
+
+    def k(s_ref, hbm, q_in, q_io, out, scr, sem):
+        del q_in
+        n = s_ref[0]
+        lane2d = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def qread(i):
+            r = i // 128
+            row = q_io[r].reshape(1, 128)
+            return jnp.sum(jnp.where(lane2d == i - r * 128, row, 0))
+
+        def qwrite(i, v):
+            r = i // 128
+            row = q_io[r].reshape(1, 128)
+            q_io[r] = jnp.where(lane2d == i - r * 128, v, row).reshape(128)
+
+        def cond(c):
+            i, tail, acc = c
+            return i < tail
+
+        def body(c):
+            i, tail, acc = c
+            rid = qread(i)
+            cp = pltpu.make_async_copy(hbm.at[pl.ds(rid * 2, 2)],
+                                       scr.at[pl.ds(0, 2)], sem)
+            cp.start()
+            cp.wait()
+            acc = acc + jnp.sum(scr[0].reshape(1, 128))
+
+            # push one extra item the first 4 iterations
+            @pl.when(i < 4)
+            def _():
+                qwrite(tail, rid + 20)
+
+            new_tail = jnp.where(i < 4, tail + 1, tail)
+            return i + 1, new_tail, acc
+
+        _, _, acc = lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(N), jnp.int32(0)))
+        out[0] = acc
+
+    hbm = jnp.ones((64, 128), jnp.int32)
+    q = jnp.concatenate([jnp.arange(N, dtype=jnp.int32)[::-1],
+                         jnp.zeros(128 - N, jnp.int32)]).reshape(1, 128)
+    q_o, out = pl.pallas_call(
+        k,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        input_output_aliases={2: 0},
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.array([N], jnp.int32), hbm, q)
+    assert int(out[0]) == (N + 4) * 128, f"acc {out[0]}"
+
+
+@probe
+def sem_2d_dynamic():
+    """2-D DMA semaphore array indexed [static, dynamic] (the GS kernel's
+    sem.at[0, slot]) inside a while_loop with a flipping slot."""
+    jax, jnp, lax, pl, pltpu = _mk()
+    N = 8
+
+    def k(s_ref, hbm, out, scr, sem):
+        n = s_ref[0]
+
+        def cond(c):
+            i, slot, acc = c
+            return i < n
+
+        def body(c):
+            i, slot, acc = c
+            cp = pltpu.make_async_copy(hbm.at[pl.ds(i * 2, 2)],
+                                       scr.at[pl.ds(slot * 8, 2)],
+                                       sem.at[0, slot])
+            cp.start()
+            cp.wait()
+            acc = acc + jnp.sum(scr[slot * 8].reshape(1, 128))
+            return i + 1, 1 - slot, acc
+
+        _, _, acc = lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+        out[0] = acc
+
+    hbm = jnp.ones((32, 128), jnp.int32)
+    out = pl.pallas_call(
+        k,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((16, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2, 2))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.array([N], jnp.int32), hbm)
+    assert int(out[0]) == N * 128, f"acc {out[0]}"
+
+
+def main():
+    if len(sys.argv) > 1:
+        name = sys.argv[1]
+        PROBES[name]()
+        print(f"{name}: PASS")
+        return
+    for name in PROBES:
+        r = subprocess.run(
+            [sys.executable, __file__, name],
+            capture_output=True, text=True, timeout=600)
+        if f"{name}: PASS" in r.stdout:
+            print(f"{name}: PASS")
+        else:
+            tail = (r.stderr.strip().splitlines() or ["?"])[-1]
+            print(f"{name}: FAIL exit={r.returncode} {tail[:300]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,7 @@ class AuctionSolver:
         eps_start=_UNSET,
         eps_min=_UNSET,
         theta=_UNSET,
+        theta_tail=_UNSET,
         max_iter=_UNSET,
         cardinality_check=_UNSET,
         dtype=_UNSET,
@@ -136,6 +137,7 @@ class AuctionSolver:
         eps_start = pick(eps_start, "eps_start")
         eps_min = pick(eps_min, "eps_min")
         theta = pick(theta, "theta")
+        theta_tail = pick(theta_tail, "theta_tail")
         max_iter = pick(max_iter, "max_iter")
         cardinality_check = pick(cardinality_check, "cardinality_check")
         mode = pick(mode, "mode")
@@ -151,6 +153,9 @@ class AuctionSolver:
         self.eps_start = eps_start
         self.eps_min = eps_min
         self.theta = theta
+        # Mixed tail schedule (auction._next_eps): None = per-mode default,
+        # 0 = pure theta descent, >1 = final-phase drop ratio.
+        self.theta_tail = theta_tail
         self.max_iter = max_iter
         self.cardinality_check = cardinality_check
         if mode not in ("auto", "device", "hybrid", "cpu", "sharded",
@@ -347,6 +352,7 @@ class AuctionSolver:
                 sol, prices, hmeta = _hybrid.solve_hybrid(
                     prob, problem=self.problem, eps_start=self.eps_start,
                     eps_min=self.eps_min, theta=self.theta,
+                    theta_tail=self.theta_tail,
                     max_iter=self.max_iter, mode=mode,
                     warm_prices=warm_prices,
                     keep_assignment=self.keep_assignment, engine=engine,

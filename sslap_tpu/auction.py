@@ -310,10 +310,37 @@ def unassign_violators(
 # ---------------------------------------------------------------------------
 
 
-def _next_eps(eps, theta, eps_min):
-    if jnp.issubdtype(eps.dtype, jnp.integer):
-        return jnp.maximum(eps // theta, eps_min)
-    return jnp.maximum(eps / theta, eps_min)
+def _next_eps(eps, theta, eps_min, theta_tail=None, tail_phases: int = 2):
+    """Geometric eps descent, optionally with a MIXED tail schedule.
+
+    Pure: eps -> max(eps/theta, eps_min).
+
+    Mixed (theta_tail > 1): descend by ``theta`` while eps is above
+    eps_min * theta_tail**tail_phases (clamping AT that threshold), then
+    by ``theta_tail`` for the last ~tail_phases phases.  Rationale
+    (PERF.md round-3 theta A/B): the host-GS tail's bid count is set by
+    the FINAL eps drop ratio, not the early ones -- theta=10 all the way
+    blew the sibling instance's tail to 8.7M bids where ratio-3 final
+    drops hold it near 1M, at the cost of ~2 extra (cheap) phase starts.
+
+    ``theta_tail`` is a traced scalar; values <= 1 disable the tail
+    stage (single compiled program serves both schedules).
+    """
+    is_int = jnp.issubdtype(eps.dtype, jnp.integer)
+    pure = jnp.maximum(eps // theta if is_int else eps / theta, eps_min)
+    if theta_tail is None:
+        return pure
+    theta_tail = jnp.asarray(theta_tail, eps.dtype)
+    thresh = eps_min * theta_tail ** tail_phases
+    if is_int:
+        hi = jnp.maximum(eps // theta, thresh)
+        lo = jnp.maximum(eps // jnp.maximum(theta_tail, 1), eps_min)
+    else:
+        hi = jnp.maximum(eps / theta, thresh)
+        lo = jnp.maximum(eps / jnp.maximum(theta_tail, 1e-9), eps_min)
+    mixed = jnp.where(eps > thresh, hi, lo)
+    one = jnp.asarray(1, eps.dtype)
+    return jnp.where(theta_tail > one, mixed, pure)
 
 
 def solve_ell(

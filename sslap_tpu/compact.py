@@ -412,6 +412,7 @@ def solve_ell_tiered(
     trunc=0,
     init_state: Optional[TieredState] = None,
     max_phases: Optional[int] = None,
+    theta_tail=None,
 ):
     """eps-scaled tiered-compaction solve for square effective problems
     (no implicit dummies).  Same result contract as auction.solve_ell.
@@ -444,7 +445,7 @@ def solve_ell_tiered(
     return solve_rowpack_tiered(
         rowpack, nvalid, p0, eps0, eps_min, theta, max_iter,
         tiers=tiers, bigp=bigp, trunc=trunc, init_state=init_state,
-        max_phases=max_phases)
+        max_phases=max_phases, theta_tail=theta_tail)
 
 
 def solve_rowpack_tiered(
@@ -461,6 +462,7 @@ def solve_rowpack_tiered(
     trunc=0,
     init_state: Optional[TieredState] = None,
     max_phases: Optional[int] = None,
+    theta_tail=None,
 ):
     """Tiered solve over pre-packed per-row data (see solve_ell_tiered for
     the contract).  Taking a RowPack directly matters at capacity scale:
@@ -534,7 +536,8 @@ def solve_rowpack_tiered(
 
     def outer_body(carry):
         st, _ = carry
-        new_eps = _auction._next_eps(st.eps, theta, eps_min)
+        new_eps = _auction._next_eps(st.eps, theta, eps_min,
+                                     theta_tail=theta_tail)
         st = run_phase(st._replace(eps=new_eps), first=False)
         done = (st.eps <= eps_min) | (st.rounds >= max_iter)
         return st, done

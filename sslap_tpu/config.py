@@ -32,6 +32,9 @@ class AuctionConfig:
     theta: Optional[float] = None        # geometric eps divisor; None =
                                          # per-mode default (device 10 /
                                          # cpu 5, measured)
+    theta_tail: Optional[float] = None   # mixed tail schedule: final-phase
+                                         # drop ratio; None = per-mode
+                                         # default, 0 = pure theta
     max_iter: Optional[int] = None       # round cap (safety valve)
     cardinality_check: bool = True       # Hopcroft-Karp pre-check
     mode: str = "auto"                   # 'auto'|'device'|'hybrid'|'cpu'
@@ -47,6 +50,9 @@ class AuctionConfig:
                 f"problem must be 'min' or 'max', got {self.problem!r}")
         if self.theta is not None and self.theta <= 1:
             raise ValueError("theta must be > 1")
+        if self.theta_tail is not None and \
+                not (self.theta_tail == 0 or self.theta_tail > 1):
+            raise ValueError("theta_tail must be 0 (off) or > 1")
         if self.mode not in ("auto", "device", "hybrid", "cpu",
                              "sharded", "overlapped", "sharded_hybrid"):
             raise ValueError(f"unknown mode {self.mode!r}")
@@ -60,6 +66,7 @@ class AuctionConfig:
             "eps_start": self.eps_start,
             "eps_min": self.eps_min,
             "theta": self.theta,
+            "theta_tail": self.theta_tail,
             "max_iter": self.max_iter,
             "cardinality_check": self.cardinality_check,
             "mode": self.mode,

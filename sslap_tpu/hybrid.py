@@ -97,19 +97,23 @@ def _compact_mod():
 
 @jax.jit
 def _device_rowpack_solve(rowpack, nvalid, p0, eps0, eps_min, theta,
-                          max_iter, bigp, trunc):
+                          max_iter, bigp, trunc, theta_tail):
     """Truncated tiered solve over a pre-packed (and possibly device-
-    cached) RowPack -- the square hybrid's production entry."""
+    cached) RowPack -- the square hybrid's production entry.
+
+    ``theta_tail`` is a traced scalar; <= 1 keeps the pure-theta descent
+    (see auction._next_eps's mixed tail schedule).
+    """
     res, st = _compact_mod().solve_rowpack_tiered(
         rowpack, nvalid, p0, eps0, eps_min, theta, max_iter,
-        bigp=bigp, trunc=trunc)
+        bigp=bigp, trunc=trunc, theta_tail=theta_tail)
     return res, st.tier_rounds
 
 
 @functools.partial(jax.jit, static_argnames=("engine",))
 def _device_truncated_solve(cols, vals_t, valid, nvalid, p0,
                             eps0, eps_min, theta, max_iter, bigp, trunc,
-                            engine: str = "compact"):
+                            theta_tail=0.0, engine: str = "compact"):
     """All eps phases on device in ONE execution, each truncated at
     ``trunc`` active rows, so the hybrid pays exactly one host->device and
     one device->host transfer -- the per-phase state shuttle was measured
@@ -129,7 +133,8 @@ def _device_truncated_solve(cols, vals_t, valid, nvalid, p0,
     from sslap_tpu import compact as _compact
     res, st = _compact.solve_ell_tiered(cols, vals_t, valid, nvalid, p0,
                                         eps0, eps_min, theta, max_iter,
-                                        bigp=bigp, trunc=trunc)
+                                        bigp=bigp, trunc=trunc,
+                                        theta_tail=theta_tail)
     return res, st.tier_rounds
 
 
@@ -219,6 +224,7 @@ def solve_hybrid(
     eps_start=None,
     eps_min=None,
     theta: Optional[float] = None,
+    theta_tail: Optional[float] = None,
     max_iter: Optional[int] = None,
     threshold: int = 4096,
     trunc: int = 256,
@@ -249,6 +255,17 @@ def solve_hybrid(
         theta = (_auction.device_theta_default(n)
                  if mode == "hybrid" and m - n_real == 0
                  else _auction.HOST_THETA)
+    if theta_tail is None:
+        # Mixed tail schedule default (PERF.md round-3 theta A/B): the
+        # host-GS tail bid count is set by the FINAL eps drop ratio --
+        # theta=10 end-to-end blew one 1M instance's tail to 8.7M bids
+        # where ratio-3 final drops hold it near 1-3M, for ~2 extra cheap
+        # phase starts.  Only engaged where the aggressive device theta
+        # is (large square hybrids); the host path keeps the sslap-class
+        # pure schedule.
+        theta_tail = (3.0 if (mode == "hybrid" and m - n_real == 0
+                              and float(theta) > 5)
+                      else 0.0)
     vals_np = np.asarray(prob.vals)
     valid_np = np.asarray(prob.valid)
     dtype = vals_np.dtype
@@ -325,7 +342,8 @@ def solve_hybrid(
                                     nvalid=nvalid_dev)
         res, tier_rounds = _device_rowpack_solve(
             rowpack_dev, nvalid_dev, jnp.asarray(prices), e0, e_min,
-            theta_v, max_iter, bigp, trunc)
+            theta_v, max_iter, bigp, trunc,
+            jnp.asarray(theta_tail, jnp.asarray(e0).dtype))
         return _finish_square_fast_path(
             res, tier_rounds, prob, indptr, indices, data, prices, sigma,
             owner, e_min, bigp, tr, n, mode, t0, t_dev0)
@@ -339,7 +357,8 @@ def solve_hybrid(
         res, tier_rounds = _device_truncated_solve(
             prob.cols, vals_t, prob.valid, prob.nvalid,
             jnp.asarray(prices), e0, e_min, theta_v, max_iter,
-            bigp, trunc, engine=engine)
+            bigp, trunc, jnp.asarray(0.0, jnp.asarray(e0).dtype),
+            engine=engine)
         return _finish_square_fast_path(
             res, tier_rounds, prob, indptr, indices, data, prices, sigma,
             owner, e_min, bigp, tr, n, mode, t0, t_dev0)
