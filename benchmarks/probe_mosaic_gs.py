@@ -249,12 +249,27 @@ def gs_small_noprefetch():
 
 
 @probe
+def gs_small_constscan():
+    """GS kernel with the top-2 scan stubbed to 'bid on first entry'
+    (keeps DMA + queue ring + all blend stores; drops the K-unrolled
+    scan).  Termination still holds: prices rise by eps each bid."""
+    _gs_run(scan="const", check=False)
+
+
+@probe
+def gs_small_noprices():
+    """GS kernel with the price gather stubbed (pk = 0) -- isolates the
+    prices lane_read from the rest of the scan."""
+    _gs_run(scan="noprices", check=False)
+
+
+@probe
 def gs_small():
     """The actual GS kernel, 32x32, compiled (not interpret)."""
     _gs_run(prefetch=True)
 
 
-def _gs_run(prefetch=True):
+def _gs_run(prefetch=True, scan="full", check=True):
     import numpy as np
     import jax.numpy as jnp
     from sslap_tpu.ops.gs_kernel import gs_auction_device
@@ -273,10 +288,15 @@ def _gs_run(prefetch=True):
     prices, owner, _, bids, left = gs_auction_device(
         jnp.asarray(cols), jnp.asarray(vals), jnp.asarray(queue), n,
         jnp.zeros(m, jnp.float32), jnp.full((m,), -1, jnp.int32),
-        0.5, bigp, 10 ** 6, prefetch=prefetch)
-    assert int(left) == 0, f"left={left}"
-    assert int(bids) >= n, f"bids={bids}"
-    assert (np.sort(np.asarray(owner)) == np.arange(n)).all()
+        0.5, bigp, 10 ** 6, prefetch=prefetch, _scan=scan)
+    if check:
+        assert int(left) == 0, f"left={left}"
+        assert int(bids) >= n, f"bids={bids}"
+        assert (np.sort(np.asarray(owner)) == np.arange(n)).all()
+    else:
+        # Stubbed scans need not terminate sensibly -- success here is
+        # the kernel RUNNING without faulting the worker.
+        assert int(bids) >= 1, f"bids={bids}"
 
 
 
@@ -442,6 +462,165 @@ def sem_2d_dynamic():
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(jnp.array([N], jnp.int32), hbm)
     assert int(out[0]) == N * 128, f"acc {out[0]}"
+
+
+
+
+def _gs_ladder(stage: int):
+    """Incremental rebuild of the GS kernel structure.
+
+    stage 1: queue-driven DUAL (i32+f32) line DMA + block extract +
+             prices lane_read; no stores (drain n rows).
+    stage 2: + blend stores to prices AND owner (no eviction).
+    stage 3: + eviction push + ring wraparound (= const-scan kernel).
+    """
+    import numpy as np
+    jax, jnp, lax, pl, pltpu = _mk()
+    n = m = 32
+    K = 4
+    NL = 2
+    L = 128
+
+    def kern(counts, clines, vlines, q_in, p_in, o_in,
+             q_io, p_io, o_io, stats, cbuf, vbuf, sem):
+        del q_in, p_in, o_in
+        qcount = counts[0]
+        max_bids = counts[1]
+        cap = counts[2]
+        lane2d = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        flat2d = (jax.lax.broadcasted_iota(jnp.int32, (NL, L), 0) * L
+                  + jax.lax.broadcasted_iota(jnp.int32, (NL, L), 1))
+
+        def lane_read(tbl2, idx, zero):
+            r = idx // L
+            row = tbl2[r].reshape(1, L)
+            return jnp.sum(jnp.where(lane2d == idx - r * L, row, zero))
+
+        def blend_store(tbl2, idx, value):
+            r = idx // L
+            row = tbl2[r].reshape(1, L)
+            tbl2[r] = jnp.where(lane2d == idx - r * L, value,
+                                row).reshape(L)
+
+        def start(slot, r):
+            l0 = (r * K) // L
+            pltpu.make_async_copy(clines.at[pl.ds(l0, NL)],
+                                  cbuf.at[pl.ds(slot * NL, NL)],
+                                  sem.at[0, slot]).start()
+            pltpu.make_async_copy(vlines.at[pl.ds(l0, NL)],
+                                  vbuf.at[pl.ds(slot * NL, NL)],
+                                  sem.at[1, slot]).start()
+
+        def wait(slot, r):
+            l0 = (r * K) // L
+            pltpu.make_async_copy(clines.at[pl.ds(l0, NL)],
+                                  cbuf.at[pl.ds(slot * NL, NL)],
+                                  sem.at[0, slot]).wait()
+            pltpu.make_async_copy(vlines.at[pl.ds(l0, NL)],
+                                  vbuf.at[pl.ds(slot * NL, NL)],
+                                  sem.at[1, slot]).wait()
+
+        def cond(c):
+            head, tail, bids, acc = c
+            return (head != tail) & (bids < max_bids)
+
+        def body(c):
+            head, tail, bids, acc = c
+            u = lane_read(q_io, head, 0)
+            head1 = head + 1
+            head1 = jnp.where(head1 == cap, 0, head1)
+            start(0, u)
+            wait(0, u)
+            cmat = jnp.concatenate(
+                [cbuf[j].reshape(1, L) for j in range(NL)], axis=0)
+            vmat = jnp.concatenate(
+                [vbuf[j].reshape(1, L) for j in range(NL)], axis=0)
+            off0 = u * K - ((u * K) // L) * L
+            sel0 = flat2d == off0
+            jstar = jnp.sum(jnp.where(sel0, cmat, 0))
+            v0 = jnp.sum(jnp.where(sel0, vmat, jnp.float32(0)))
+            pk = lane_read(p_io, jstar, jnp.float32(0))
+            acc = acc + pk + v0
+
+            if STAGE >= 3:
+                prev = lane_read(o_io, jstar, 0)
+                tail1 = jnp.where(tail + 1 == cap, 0, tail + 1)
+
+                @pl.when(prev >= 0)
+                def _():
+                    blend_store(q_io, tail, prev)
+
+                new_tail = jnp.where(prev >= 0, tail1, tail)
+            else:
+                new_tail = tail
+            if STAGE >= 2:
+                blend_store(p_io, jstar, pk + jnp.float32(0.5))
+                blend_store(o_io, jstar, u)
+            return head1, new_tail, bids + 1, acc
+
+        head, tail, bids, acc = lax.while_loop(
+            cond, body, (jnp.int32(0), qcount, jnp.int32(0),
+                         jnp.float32(0)))
+        stats[0] = bids
+        stats[1] = jnp.where(tail >= head, tail - head,
+                             tail - head + cap).astype(jnp.int32)
+
+    STAGE = stage
+    rng = np.random.default_rng(3)
+    cols = np.sort(rng.integers(0, m, (n, K)), axis=1).astype(np.int32)
+    cols[:, 0] = np.arange(n)      # stage 3: first-entry bids ping-pong-free
+    vals = (rng.random((n, K)) * 10).astype(np.float32)
+    flatc = np.zeros(((n * K) // L + NL) * L, np.int32)
+    flatv = np.zeros_like(flatc, dtype=np.float32)
+    flatc[:n * K] = cols.reshape(-1)
+    flatv[:n * K] = vals.reshape(-1)
+    cap = n + 1
+    q = np.zeros(128, np.int32)
+    q[:n] = np.arange(n)
+    counts = jnp.asarray([n, 10 ** 5, cap], dtype=jnp.int32)
+    q_o, p_o, o_o, stats = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((2,), jnp.int32)),
+        input_output_aliases={3: 0, 4: 1, 5: 2},
+        scratch_shapes=[pltpu.VMEM((2 * NL, L), jnp.int32),
+                        pltpu.VMEM((2 * NL, L), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2, 2))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(counts,
+      jnp.asarray(flatc.reshape(-1, L)), jnp.asarray(flatv.reshape(-1, L)),
+      jnp.asarray(q.reshape(1, 128)),
+      jnp.zeros((1, 128), jnp.float32),
+      jnp.full((1, 128), -1, jnp.int32))
+    b = int(stats[0])
+    assert b == n, f"bids={b}"
+
+
+@probe
+def gs_ladder1():
+    _gs_ladder(1)
+
+
+@probe
+def gs_ladder2():
+    _gs_ladder(2)
+
+
+@probe
+def gs_ladder3():
+    _gs_ladder(3)
 
 
 def main():

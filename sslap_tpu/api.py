@@ -297,7 +297,8 @@ class AuctionSolver:
             stack_problems([prob]), problem=self.problem,
             eps_start=self.eps_start, eps_min=self.eps_min,
             theta=(5.0 if self.theta is None else self.theta),
-            max_iter=self.max_iter, return_prices=True)
+            max_iter=self.max_iter, return_prices=True,
+            device_cache=self._device_cache)
         self.prices = prices[0]
         # meta 'mode' stays the REQUESTED mode (the API contract every
         # test and caller keys on); the engine is disclosed separately.

@@ -178,6 +178,7 @@ def solve_batched_dense_hybrid(
     chunk: Optional[int] = None,
     dense_budget_bytes: int = 2 << 30,
     return_prices: bool = False,
+    device_cache: Optional[dict] = None,
 ):
     """Batched square instances via dense device chunks + native GS tails.
 
@@ -186,6 +187,12 @@ def solve_batched_dense_hybrid(
     additionally returns the final transformed-domain price vectors
     [B, m] (third tuple element) -- the single-instance ``engine='dense'``
     API path exposes them on the AuctionSolution like every other mode.
+
+    ``device_cache``: an AuctionSolver-owned dict; when the batch fits one
+    chunk, the device-resident ELL arrays and the host CSR are cached
+    across calls (construct-once serving parity with the RowPack hybrid --
+    the measured 4096-dense A/B paid ~26 s/call re-shipping a 67 MB
+    tensor through this tunnel).
     """
     from sslap_tpu import hybrid as _hybrid
     assert prob.cols.ndim == 3, "expected batched ELLProblem"
@@ -217,20 +224,31 @@ def solve_batched_dense_hybrid(
     bigp = (float(tvals[valid_np].max() - tvals[valid_np].min()) + 1.0
             if valid_np.any() else 1.0)
 
-    # Batched host CSR in ONE pass over the whole batch (the per-instance
-    # mask-and-extract loop measured ~40 s at B=256, n=4096 -- more than
-    # the device pass itself).
+    cache_key = (B, n, K, str(dtype), tr.sign, tr.scale, prob.nnz)
     cols_all = np.asarray(prob.cols)
     vals_all = np.asarray(prob.vals)
-    nvalid_all = np.asarray(prob.nvalid)
-    counts = valid_np.sum(axis=2).astype(np.int64)          # [B, n]
-    indptr_all = np.zeros((B, n + 1), np.int64)
-    np.cumsum(counts, axis=1, out=indptr_all[:, 1:])
-    indices_flat = cols_all[valid_np].astype(np.int32)      # batch-major
-    data_flat = (vals_all[valid_np] *
-                 np.asarray(tr.sign * tr.scale, dtype)).astype(dtype)
-    inst_off = np.zeros(B + 1, np.int64)
-    np.cumsum(counts.sum(axis=1), out=inst_off[1:])
+    if device_cache is not None and \
+            device_cache.get("dense_key") == cache_key:
+        (nvalid_all, counts, indptr_all, indices_flat, data_flat,
+         inst_off) = device_cache["dense_csr"]
+    else:
+        # Batched host CSR in ONE pass over the whole batch (the
+        # per-instance mask-and-extract loop measured ~40 s at B=256,
+        # n=4096 -- more than the device pass itself).
+        nvalid_all = np.asarray(prob.nvalid)
+        counts = valid_np.sum(axis=2).astype(np.int64)      # [B, n]
+        indptr_all = np.zeros((B, n + 1), np.int64)
+        np.cumsum(counts, axis=1, out=indptr_all[:, 1:])
+        indices_flat = cols_all[valid_np].astype(np.int32)  # batch-major
+        data_flat = (vals_all[valid_np] *
+                     np.asarray(tr.sign * tr.scale, dtype)).astype(dtype)
+        inst_off = np.zeros(B + 1, np.int64)
+        np.cumsum(counts.sum(axis=1), out=inst_off[1:])
+        if device_cache is not None:
+            device_cache.update(
+                dense_key=cache_key,
+                dense_csr=(nvalid_all, counts, indptr_all, indices_flat,
+                           data_flat, inst_off))
 
     sols = np.full((B, n), -1, np.int32)
     prices_out = np.zeros((B, m), dtype) if return_prices else None
@@ -252,13 +270,22 @@ def solve_batched_dense_hybrid(
     # pipelines chunk k+1 while the host runs chunk k's GS tails.
     td0 = time.perf_counter()
     pending = []
+    cache_chunks = device_cache is not None and chunk >= B
     for lo in range(0, B, chunk):
         hi = min(lo + chunk, B)
+        ckey = ("dense_dev", cache_key, lo, hi)
+        if cache_chunks and device_cache.get("dense_dev_key") == ckey:
+            c_d, v_d, vd_d, nv_d = device_cache["dense_dev"]
+        else:
+            c_d = jnp.asarray(take(prob.cols, lo, hi))
+            v_d = tr.apply(take(prob.vals, lo, hi))
+            vd_d = jnp.asarray(take(valid_np, lo, hi))
+            nv_d = jnp.asarray(take(nvalid_all, lo, hi))
+            if cache_chunks:
+                device_cache.update(dense_dev_key=ckey,
+                                    dense_dev=(c_d, v_d, vd_d, nv_d))
         outs = _solve_chunk_vmapped(
-            jnp.asarray(take(prob.cols, lo, hi)),
-            tr.apply(take(prob.vals, lo, hi)),
-            jnp.asarray(take(valid_np, lo, hi)),
-            jnp.asarray(take(nvalid_all, lo, hi)),
+            c_d, v_d, vd_d, nv_d,
             jnp.asarray(e0, dtype), jnp.asarray(e_min, dtype),
             jnp.asarray(theta_v, dtype), jnp.int32(max_iter),
             jnp.asarray(bigp, dtype), jnp.int32(trunc))

@@ -68,7 +68,7 @@ def _gs_kernel(counts_ref,           # SMEM i32 [3]: qcount, max_bids, cap
                queue_in, prices_in, owner_in,   # aliased onto outputs
                queue_io, prices_io, owner_io, stats_ref,
                cbuf, vbuf, sem, *, K: int, NL: int,
-               prefetch: bool = True):
+               prefetch: bool = True, _scan: str = "full"):
     """stats_ref (SMEM i32 [2]): bids performed, rows left in queue.
 
     queue_io/prices_io/owner_io are 2-D [rows, 128] scalar tables (see
@@ -169,23 +169,31 @@ def _gs_kernel(counts_ref,           # SMEM i32 [3]: qcount, max_bids, cap
         # disabled the single-valid-entry v2 substitution below for every
         # K >= 2 row.
         neg = jnp.float32(-3e38)
-        v1 = neg
-        v2 = neg
-        jstar = jnp.int32(0)
-        astar = neg
-        for k in range(K):
-            sel = flat2d == off0 + k
-            ck = jnp.sum(jnp.where(sel, cmat, 0))
-            vk = jnp.sum(jnp.where(sel, vmat, jnp.float32(0)))
-            pk = lane_read(prices_io, ck, jnp.float32(0))
-            w = jnp.where(vk > -bigp, vk - pk, neg)
-            better = w > v1
-            v2 = jnp.where(better, v1, jnp.maximum(v2, w))
-            v1 = jnp.where(better, w, v1)
-            jstar = jnp.where(better, ck, jstar)
-            astar = jnp.where(better, vk, astar)
-        v2 = jnp.where(v2 > neg * 0.5, v2, v1 - bigp)
-        bid = astar - v2 + eps
+        if _scan == "const":
+            # Bisect stub: bid on the row's first entry with a fixed
+            # increment (wrong auction, same memory/control pattern).
+            sel0 = flat2d == off0
+            jstar = jnp.sum(jnp.where(sel0, cmat, 0))
+            bid = lane_read(prices_io, jstar, jnp.float32(0)) + eps
+        else:
+            v1 = neg
+            v2 = neg
+            jstar = jnp.int32(0)
+            astar = neg
+            for k in range(K):
+                sel = flat2d == off0 + k
+                ck = jnp.sum(jnp.where(sel, cmat, 0))
+                vk = jnp.sum(jnp.where(sel, vmat, jnp.float32(0)))
+                pk = (jnp.float32(0) if _scan == "noprices"
+                      else lane_read(prices_io, ck, jnp.float32(0)))
+                w = jnp.where(vk > -bigp, vk - pk, neg)
+                better = w > v1
+                v2 = jnp.where(better, v1, jnp.maximum(v2, w))
+                v1 = jnp.where(better, w, v1)
+                jstar = jnp.where(better, ck, jstar)
+                astar = jnp.where(better, vk, astar)
+            v2 = jnp.where(v2 > neg * 0.5, v2, v1 - bigp)
+            bid = astar - v2 + eps
 
         prev = lane_read(owner_io, jstar, 0)
         tail1 = jnp.where(tail + 1 == cap, 0, tail + 1)
@@ -235,7 +243,7 @@ def _line_pack(arr2d, fill):
 
 def gs_auction_device(cols, vals_masked, queue, qcount, prices, owner,
                       eps, bigp, max_bids, *, interpret: bool = False,
-                      prefetch: bool = True):
+                      prefetch: bool = True, _scan: str = "full"):
     """Run the GS auction kernel to queue exhaustion (or bid budget).
 
     Args:
@@ -269,7 +277,8 @@ def gs_auction_device(cols, vals_masked, queue, qcount, prices, owner,
     prices_p = _pad2d(prices, 0)
     owner_p = _pad2d(owner, -1)
     queue_o, prices_o, owner_o, stats = pl.pallas_call(
-        functools.partial(_gs_kernel, K=K, NL=NL, prefetch=prefetch),
+        functools.partial(_gs_kernel, K=K, NL=NL, prefetch=prefetch,
+                          _scan=_scan),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),

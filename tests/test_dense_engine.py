@@ -102,3 +102,19 @@ def test_dense_engine_via_config_bundle():
     assert res["meta"]["mode"] == "hybrid"
     assert res["meta"]["engine"] == "dense"
     assert res["meta"]["obj"] == scipy_obj(C)
+
+
+def test_dense_engine_serving_cache():
+    """Construct-once parity (PERF.md round-3 dense A/B: ~26 s/call went to
+    re-shipping the dense tensor each solve): the second solve() on the
+    same AuctionSolver reuses the device-resident arrays and the host CSR,
+    and returns the identical assignment."""
+    C = dense_instance(64, seed=3)
+    s = AuctionSolver(C, mode="hybrid", engine="dense")
+    r1 = s.solve()
+    assert "dense_dev" in s._device_cache and "dense_csr" in s._device_cache
+    dev_before = s._device_cache["dense_dev"]
+    r2 = s.solve()
+    assert s._device_cache["dense_dev"] is dev_before    # reused, not rebuilt
+    np.testing.assert_array_equal(r1.sol, r2.sol)
+    assert r2["meta"]["obj"] == scipy_obj(C)
