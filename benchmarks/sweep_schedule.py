@@ -50,6 +50,11 @@ def main():
                     default=[3, 5, 10, 20, 40])
     ap.add_argument("--e0divs", type=float, nargs="*",
                     default=[2, 32, 512])
+    ap.add_argument("--theta-tails", type=float, nargs="*", default=None,
+                    help="mixed-tail final drop ratios to sweep (0 = pure "
+                         "theta descent; omit = the engine default)")
+    ap.add_argument("--tail-phases", type=int, nargs="*", default=[2],
+                    help="how many final phases descend by theta_tail")
     ap.add_argument("--bench-instance", action="store_true",
                     help="use bench.py's exact generator/seed (the "
                          "headline instance) instead of run_all.make_sparse")
@@ -76,45 +81,55 @@ def main():
             loc, val = make_sparse(n, n, K, seed=40 + s)
         probs.append(ingest.from_coo(loc, val, shape=(n, n)))
 
+    tails = [None] if args.theta_tails is None else args.theta_tails
     results = []
     for theta in args.thetas:
         for div in args.e0divs:
-            tot, devtot, bids, failed = 0.0, 0.0, 0, False
-            wall = {"device_time": 0.0, "host_gs_time": 0.0, "time": 0.0}
-            for prob in probs:
-                vmax = float(np.abs(np.asarray(prob.vals))[
-                    np.asarray(prob.valid)].max())
-                _, _, meta = solve_hybrid(
-                    prob, mode="hybrid", theta=theta,
-                    eps_start=vmax / div)
-                for k in wall:
-                    wall[k] += float(meta.get(k) or 0.0)
-                if not meta["soln_found"]:
-                    # Legitimate outcome, not a harness bug: a tiny eps0
-                    # makes the first phase's eviction chains enormous and
-                    # the max_iter valve trips.  Score the cell unusable.
-                    failed = True
-                    break
-                t, d = model_seconds(meta, tiers, n, K)
-                tot += t
-                devtot += d
-                bids += meta["host_bids"]
-            cell = {"theta": theta, "e0_div": div,
-                    "model_s": (float("inf") if failed
-                                else round(tot / args.seeds, 4)),
-                    "model_device_s": (None if failed else
-                                       round(devtot / args.seeds, 4)),
-                    "host_bids": None if failed else bids // args.seeds,
-                    "max_iter_trip": failed,
-                    # Real wall splits (meaningful on-chip; on the CPU sim
-                    # they are sim-speed, use model_s for decisions there).
-                    "wall_device_s": round(wall["device_time"]
+            cells = [(tail, tp) for tail in tails
+                     for tp in (args.tail_phases
+                                if (tail or 0) > 1 else [2])]
+            for tail, tp in cells:
+                tot, devtot, bids, failed = 0.0, 0.0, 0, False
+                wall = {"device_time": 0.0, "host_gs_time": 0.0,
+                        "time": 0.0}
+                for prob in probs:
+                    vmax = float(np.abs(np.asarray(prob.vals))[
+                        np.asarray(prob.valid)].max())
+                    _, _, meta = solve_hybrid(
+                        prob, mode="hybrid", theta=theta,
+                        theta_tail=tail, tail_phases=tp,
+                        eps_start=vmax / div)
+                    for k in wall:
+                        wall[k] += float(meta.get(k) or 0.0)
+                    if not meta["soln_found"]:
+                        # Legitimate outcome, not a harness bug: a tiny
+                        # eps0 makes the first phase's eviction chains
+                        # enormous and the max_iter valve trips.  Score
+                        # the cell unusable.
+                        failed = True
+                        break
+                    t, d = model_seconds(meta, tiers, n, K)
+                    tot += t
+                    devtot += d
+                    bids += meta["host_bids"]
+                cell = {"theta": theta, "e0_div": div,
+                        "theta_tail": tail, "tail_phases": tp,
+                        "model_s": (float("inf") if failed
+                                    else round(tot / args.seeds, 4)),
+                        "model_device_s": (None if failed else
+                                           round(devtot / args.seeds, 4)),
+                        "host_bids": (None if failed
+                                      else bids // args.seeds),
+                        "max_iter_trip": failed,
+                        # Real wall splits (meaningful on-chip; on the CPU
+                        # sim they are sim-speed, use model_s there).
+                        "wall_device_s": round(wall["device_time"]
+                                               / args.seeds, 3),
+                        "wall_gs_s": round(wall["host_gs_time"]
                                            / args.seeds, 3),
-                    "wall_gs_s": round(wall["host_gs_time"]
-                                       / args.seeds, 3),
-                    "wall_e2e_s": round(wall["time"] / args.seeds, 3)}
-            results.append(cell)
-            print(json.dumps(cell), flush=True)
+                        "wall_e2e_s": round(wall["time"] / args.seeds, 3)}
+                results.append(cell)
+                print(json.dumps(cell), flush=True)
 
     best = min(results, key=lambda c: c["model_s"])
     # The shipped default for this n (device_theta_default, e0 = c/2).

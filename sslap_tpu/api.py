@@ -116,6 +116,7 @@ class AuctionSolver:
         eps_min=_UNSET,
         theta=_UNSET,
         theta_tail=_UNSET,
+        tail_phases=_UNSET,
         max_iter=_UNSET,
         cardinality_check=_UNSET,
         dtype=_UNSET,
@@ -138,6 +139,7 @@ class AuctionSolver:
         eps_min = pick(eps_min, "eps_min")
         theta = pick(theta, "theta")
         theta_tail = pick(theta_tail, "theta_tail")
+        tail_phases = pick(tail_phases, "tail_phases")
         max_iter = pick(max_iter, "max_iter")
         cardinality_check = pick(cardinality_check, "cardinality_check")
         mode = pick(mode, "mode")
@@ -156,6 +158,9 @@ class AuctionSolver:
         # Mixed tail schedule (auction._next_eps): None = per-mode default,
         # 0 = pure theta descent, >1 = final-phase drop ratio.
         self.theta_tail = theta_tail
+        # How many final phases descend by theta_tail (static; sets the
+        # clamp threshold eps_min * theta_tail**tail_phases).
+        self.tail_phases = int(tail_phases)
         self.max_iter = max_iter
         self.cardinality_check = cardinality_check
         if mode not in ("auto", "device", "hybrid", "cpu", "sharded",
@@ -354,6 +359,7 @@ class AuctionSolver:
                     prob, problem=self.problem, eps_start=self.eps_start,
                     eps_min=self.eps_min, theta=self.theta,
                     theta_tail=self.theta_tail,
+                    tail_phases=self.tail_phases,
                     max_iter=self.max_iter, mode=mode,
                     warm_prices=warm_prices,
                     keep_assignment=self.keep_assignment, engine=engine,

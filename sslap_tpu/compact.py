@@ -413,6 +413,7 @@ def solve_ell_tiered(
     init_state: Optional[TieredState] = None,
     max_phases: Optional[int] = None,
     theta_tail=None,
+    tail_phases: int = 2,
 ):
     """eps-scaled tiered-compaction solve for square effective problems
     (no implicit dummies).  Same result contract as auction.solve_ell.
@@ -445,7 +446,8 @@ def solve_ell_tiered(
     return solve_rowpack_tiered(
         rowpack, nvalid, p0, eps0, eps_min, theta, max_iter,
         tiers=tiers, bigp=bigp, trunc=trunc, init_state=init_state,
-        max_phases=max_phases, theta_tail=theta_tail)
+        max_phases=max_phases, theta_tail=theta_tail,
+        tail_phases=tail_phases)
 
 
 def solve_rowpack_tiered(
@@ -463,6 +465,7 @@ def solve_rowpack_tiered(
     init_state: Optional[TieredState] = None,
     max_phases: Optional[int] = None,
     theta_tail=None,
+    tail_phases: int = 2,
 ):
     """Tiered solve over pre-packed per-row data (see solve_ell_tiered for
     the contract).  Taking a RowPack directly matters at capacity scale:
@@ -537,7 +540,8 @@ def solve_rowpack_tiered(
     def outer_body(carry):
         st, _ = carry
         new_eps = _auction._next_eps(st.eps, theta, eps_min,
-                                     theta_tail=theta_tail)
+                                     theta_tail=theta_tail,
+                                     tail_phases=tail_phases)
         st = run_phase(st._replace(eps=new_eps), first=False)
         done = (st.eps <= eps_min) | (st.rounds >= max_iter)
         return st, done

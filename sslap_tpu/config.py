@@ -35,6 +35,7 @@ class AuctionConfig:
     theta_tail: Optional[float] = None   # mixed tail schedule: final-phase
                                          # drop ratio; None = per-mode
                                          # default, 0 = pure theta
+    tail_phases: int = 2                 # phases descending by theta_tail
     max_iter: Optional[int] = None       # round cap (safety valve)
     cardinality_check: bool = True       # Hopcroft-Karp pre-check
     mode: str = "auto"                   # 'auto'|'device'|'hybrid'|'cpu'
@@ -53,6 +54,8 @@ class AuctionConfig:
         if self.theta_tail is not None and \
                 not (self.theta_tail == 0 or self.theta_tail > 1):
             raise ValueError("theta_tail must be 0 (off) or > 1")
+        if self.tail_phases < 1:
+            raise ValueError("tail_phases must be >= 1")
         if self.mode not in ("auto", "device", "hybrid", "cpu",
                              "sharded", "overlapped", "sharded_hybrid"):
             raise ValueError(f"unknown mode {self.mode!r}")
@@ -67,6 +70,7 @@ class AuctionConfig:
             "eps_min": self.eps_min,
             "theta": self.theta,
             "theta_tail": self.theta_tail,
+            "tail_phases": self.tail_phases,
             "max_iter": self.max_iter,
             "cardinality_check": self.cardinality_check,
             "mode": self.mode,

@@ -95,9 +95,10 @@ def _compact_mod():
     return _compact
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("tail_phases",))
 def _device_rowpack_solve(rowpack, nvalid, p0, eps0, eps_min, theta,
-                          max_iter, bigp, trunc, theta_tail):
+                          max_iter, bigp, trunc, theta_tail,
+                          tail_phases=2):
     """Truncated tiered solve over a pre-packed (and possibly device-
     cached) RowPack -- the square hybrid's production entry.
 
@@ -106,7 +107,8 @@ def _device_rowpack_solve(rowpack, nvalid, p0, eps0, eps_min, theta,
     """
     res, st = _compact_mod().solve_rowpack_tiered(
         rowpack, nvalid, p0, eps0, eps_min, theta, max_iter,
-        bigp=bigp, trunc=trunc, theta_tail=theta_tail)
+        bigp=bigp, trunc=trunc, theta_tail=theta_tail,
+        tail_phases=tail_phases)
     return res, st.tier_rounds
 
 
@@ -225,6 +227,7 @@ def solve_hybrid(
     eps_min=None,
     theta: Optional[float] = None,
     theta_tail: Optional[float] = None,
+    tail_phases: int = 2,
     max_iter: Optional[int] = None,
     threshold: int = 4096,
     trunc: int = 256,
@@ -343,7 +346,8 @@ def solve_hybrid(
         res, tier_rounds = _device_rowpack_solve(
             rowpack_dev, nvalid_dev, jnp.asarray(prices), e0, e_min,
             theta_v, max_iter, bigp, trunc,
-            jnp.asarray(theta_tail, jnp.asarray(e0).dtype))
+            jnp.asarray(theta_tail, jnp.asarray(e0).dtype),
+            tail_phases=tail_phases)
         return _finish_square_fast_path(
             res, tier_rounds, prob, indptr, indices, data, prices, sigma,
             owner, e_min, bigp, tr, n, mode, t0, t_dev0)
