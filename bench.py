@@ -68,17 +68,29 @@ def smoke_device_exact():
 
 
 def kernel_tier_probe():
-    """Report the Pallas kernel tier's status on this backend (VERDICT
-    round-1 item 3): the probe compiles the bid kernel and checks it
-    against the XLA path on a small instance."""
+    """Report the Pallas kernel tier's status on this backend.
+
+    Probe ONLY when the kernel is opted in (SSLAP_TPU_USE_PALLAS=1):
+    the kernel lost its on-chip timing A/B 18x (PERF.md round-3
+    continuation IV: XLA 113.8 vs Pallas 2064 ns/elem at 131072x16) and
+    ships opt-in, so by default there is nothing to dispatch and the
+    240 s probe subprocess is pure startup risk on a half-dead tunnel
+    (BENCH_r03 burned 240 s+ here before its headline run)."""
+    if os.environ.get("SSLAP_TPU_USE_PALLAS") != "1":
+        log("pallas bid kernel: opt-in tier not requested "
+            "(SSLAP_TPU_USE_PALLAS unset); probe skipped. On-chip verdict: "
+            "A/B parity PASS, timing 18x SLOWER than XLA (PERF.md r3 IV).")
+        return
+    # Opted in: bound the probe tighter than its 240 s default so a
+    # wedged compile tunnel can't eat the bench's startup budget.
+    os.environ.setdefault("SSLAP_TPU_PROBE_TIMEOUT", "90")
     from sslap_tpu.ops import pallas_bid_available, resolve_bid_fn
     from sslap_tpu.ops import bid as _bid
     ok = pallas_bid_available()
     msg = "PASS (A/B matches XLA path on this chip)" if ok else \
         f"unavailable on this backend [{_bid._last_probe_error[:160]}]"
     log(f"pallas bid kernel probe: {msg}; "
-        f"dispatch {'ACTIVE' if resolve_bid_fn() is not None else 'off'} "
-        f"(opt-in via SSLAP_TPU_USE_PALLAS=1)")
+        f"dispatch {'ACTIVE' if resolve_bid_fn() is not None else 'off'}")
 
 
 def device_alive(wait_s: float = None) -> bool:

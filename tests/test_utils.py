@@ -70,3 +70,41 @@ def test_device_alive_machinery(monkeypatch):
                         "import sys; sys.exit(1)")
     assert liveness.device_alive(wait_s=0, log=msgs.append) is False
     assert any("unreachable" in m for m in msgs)
+
+
+def test_relay_tcp_fast_fail(monkeypatch):
+    # A relay whose TCP endpoints refuse connects is a FULLY-dead tunnel:
+    # device_alive must report dead in seconds without running the (slow,
+    # hang-prone) matmul probe at all.
+    import socket
+    from sslap_tpu.utils import liveness
+
+    # Find a port nothing listens on.
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    monkeypatch.setenv("SSLAP_TPU_RELAY_TCP", f"127.0.0.1:{port}")
+    assert liveness._relay_definitely_dead() is True
+    msgs = []
+    # _PROBE_CODE untouched: if the fast-fail path didn't trigger, this
+    # would only fail via the generic deadline message.
+    assert liveness.device_alive(wait_s=60, log=msgs.append) is False
+    assert any("refused" in m for m in msgs)
+
+    # A LISTENING endpoint is ambiguous (half-dead tunnels keep their
+    # relay port open) -> must NOT short-circuit.
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    lport = srv.getsockname()[1]
+    monkeypatch.setenv("SSLAP_TPU_RELAY_TCP", f"127.0.0.1:{lport}")
+    assert liveness._relay_definitely_dead() is False
+    srv.close()
+
+    # No endpoints configured and not on a relayed platform -> no signal.
+    monkeypatch.delenv("SSLAP_TPU_RELAY_TCP")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert liveness._relay_endpoints() == []
+    assert liveness._relay_definitely_dead() is False
