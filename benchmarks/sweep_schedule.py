@@ -82,6 +82,14 @@ def main():
         probs.append(ingest.from_coo(loc, val, shape=(n, n)))
 
     tails = [None] if args.theta_tails is None else args.theta_tails
+    if (args.tail_phases != [2]
+            and not any((t or 0) > 1 for t in tails)):
+        # ADVICE r3: --tail-phases only applies to cells whose theta_tail
+        # engages (> 1); warn instead of silently ignoring it.
+        print("warning: --tail-phases has no effect without a "
+              "--theta-tails value > 1 (theta_tail=None resolves inside "
+              "the engine; the sweep pins its cell to tail_phases=2)",
+              file=sys.stderr)
     results = []
     for theta in args.thetas:
         for div in args.e0divs:
@@ -135,8 +143,20 @@ def main():
     # The shipped default for this n (device_theta_default, e0 = c/2).
     from sslap_tpu.auction import device_theta_default
     th_def = device_theta_default(n)
-    ref = [c for c in results
-           if c["theta"] == th_def and c["e0_div"] == 2]
+    # Match the SHIPPED default schedule exactly (ADVICE r3: when several
+    # tail variants are swept, theta+e0 alone picks an arbitrary one):
+    # the engine default is theta_tail=None (resolved internally; 3.0 for
+    # aggressive thetas) at tail_phases=2 -- accept the None cell or its
+    # resolved equivalent (theta_tail=3.0, tail_phases=2).
+    def is_default_cell(c):
+        if c["theta"] != th_def or c["e0_div"] != 2:
+            return False
+        if c["theta_tail"] is None:
+            return True
+        return (th_def > 5 and c["theta_tail"] == 3.0
+                and c["tail_phases"] == 2)
+
+    ref = [c for c in results if is_default_cell(c)]
     print("---", file=sys.stderr)
     print(f"default (theta={th_def}, e0=c/2): "
           f"{ref[0]['model_s'] if ref else 'not in grid'} s",

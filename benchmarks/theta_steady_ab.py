@@ -32,7 +32,9 @@ def main():
     from sslap_tpu import AuctionSolver
 
     n = int(os.environ.get("AB_N", "1000000"))
-    reps = int(os.environ.get("AB_REPS", "2"))
+    # >= 3 so the median is a real middle draw, not a 2-sample mean
+    # (ADVICE r3); reps < 1 would NameError on the post-loop `res`.
+    reps = max(int(os.environ.get("AB_REPS", "3")), 1)
     rr, cc, vv = bench.make_instance(n, n, 9, seed=0)
     loc = np.stack([rr, cc], 1)
 

@@ -156,10 +156,16 @@ class AuctionSolver:
         self.eps_min = eps_min
         self.theta = theta
         # Mixed tail schedule (auction._next_eps): None = per-mode default,
-        # 0 = pure theta descent, >1 = final-phase drop ratio.
+        # 0 = pure theta descent, >1 = final-phase drop ratio.  Same
+        # validation as AuctionConfig.__post_init__ (ADVICE r3: kwargs
+        # passed directly must not bypass the config path's checks).
+        if theta_tail is not None and not (theta_tail == 0 or theta_tail > 1):
+            raise ValueError("theta_tail must be 0 (off) or > 1")
         self.theta_tail = theta_tail
         # How many final phases descend by theta_tail (static; sets the
         # clamp threshold eps_min * theta_tail**tail_phases).
+        if int(tail_phases) < 1:
+            raise ValueError("tail_phases must be >= 1")
         self.tail_phases = int(tail_phases)
         self.max_iter = max_iter
         self.cardinality_check = cardinality_check
@@ -339,7 +345,9 @@ class AuctionSolver:
             res = fn(self.problem_spec,
                      problem=self.problem,
                      eps_start=self.eps_start, eps_min=self.eps_min,
-                     theta=self.theta, max_iter=self.max_iter,
+                     theta=self.theta, theta_tail=self.theta_tail,
+                     tail_phases=self.tail_phases,
+                     max_iter=self.max_iter,
                      cardinality_check=False, warm_prices=warm_prices)
             self.prices = res.get("prices")
             self.meta = res["meta"]

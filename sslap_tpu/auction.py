@@ -362,6 +362,8 @@ def solve_ell(
     on_round: Optional[Callable] = None,
     keep_assignment: bool = True,
     combine_owner: Optional[Callable] = None,
+    theta_tail=None,
+    tail_phases: int = 2,
 ) -> SolveResult:
     """Scaled auction over an ELL block.  Pure and jittable; vmap-able over a
     leading batch axis (batch.py) and shard_map-able over rows
@@ -426,7 +428,9 @@ def solve_ell(
         st = lax.while_loop(phase_cond, round_fn, st)
         finished = (st.eps <= eps_min) | (st.rounds >= max_iter)
         new_eps = jnp.where(finished, st.eps,
-                            _next_eps(st.eps, theta, eps_min))
+                            _next_eps(st.eps, theta, eps_min,
+                                      theta_tail=theta_tail,
+                                      tail_phases=tail_phases))
         if keep_assignment:
             # Warm-started phase: keep pairs satisfying eps-CS at new_eps,
             # unassign only violators (see unassign_violators).

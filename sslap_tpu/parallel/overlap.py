@@ -128,6 +128,8 @@ def solve_ell_overlapped(
     p0: jax.Array,
     eps0, eps_min, theta, max_iter, bigp,
     axis_name: str = "rows",
+    theta_tail=None,
+    tail_phases: int = 2,
 ) -> _auction.SolveResult:
     """eps-scaled row-sharded solve with overlapped combines.  Square
     effective problems (rows padded to the mesh; no implicit dummies --
@@ -147,6 +149,8 @@ def solve_ell_overlapped(
                        np.asarray(eps_min, np_dtype))
     eps_min_ = np.asarray(eps_min, np_dtype)
     theta_ = np.asarray(theta, np_dtype)
+    theta_tail_ = (None if theta_tail is None
+                   else np.asarray(theta_tail, np_dtype))
     max_iter_ = np.asarray(max_iter, np.int32)
     bigp_ = np.asarray(bigp, np_dtype)
 
@@ -172,7 +176,9 @@ def solve_ell_overlapped(
                 (prices, owner, sigma, eps, rounds, phases))
             done = (eps <= eps_min_) | (rounds >= max_iter_)
             eps = jnp.where(done, eps,
-                            _auction._next_eps(eps, theta_, eps_min_))
+                            _auction._next_eps(eps, theta_, eps_min_,
+                                               theta_tail=theta_tail_,
+                                               tail_phases=tail_phases))
             if True:  # warm start: unassign only eps-CS violators
                 def advance(args):
                     prices, owner, sigma, eps = args
@@ -228,6 +234,8 @@ def auction_solve_overlapped(
     eps_start=None,
     eps_min=None,
     theta: Optional[float] = None,
+    theta_tail: Optional[float] = None,
+    tail_phases: int = 2,
     max_iter: Optional[int] = None,
     cardinality_check: bool = True,
     dtype=None,
@@ -270,11 +278,18 @@ def auction_solve_overlapped(
     valid_np = np.asarray(prob.valid)
     vmax_abs = float(np.abs(vals_np[valid_np]).max()) if valid_np.any() else 0.0
     tr = _auction.make_transform(problem, prob.m, vals_np.dtype, vmax_abs)
+    theta_eff = (_auction.device_theta_default(prob.n)
+                 if theta is None else theta)
+    if theta_tail is None:
+        # Mixed tail default, matching the single-chip hybrid (PERF.md
+        # round-3 theta A/B; VERDICT r3 missing #2).
+        theta_tail = 3.0 if float(theta_eff) > 5 else 0.0
+    if tail_phases < 1:
+        raise ValueError("tail_phases must be >= 1")
     e0, e_min, theta_v = _auction.default_eps_schedule(
         vals_np.dtype, vmax_abs, prob.m, tr.scale,
         eps_min=eps_min, eps_start=eps_start,
-        theta=(_auction.device_theta_default(prob.n)
-               if theta is None else theta))
+        theta=theta_eff)
     if max_iter is None:
         max_iter = _auction.default_max_iter(prob.n)
 
@@ -296,7 +311,8 @@ def auction_solve_overlapped(
     res = solve_ell_overlapped(
         jnp.asarray(prob_p.cols), jnp.asarray(vals_t),
         jnp.asarray(prob_p.valid), jnp.asarray(prob_p.nvalid),
-        mesh, p0, e0, e_min, theta_v, max_iter, bigp, axis_name=axis_name)
+        mesh, p0, e0, e_min, theta_v, max_iter, bigp, axis_name=axis_name,
+        theta_tail=theta_tail, tail_phases=tail_phases)
     from sslap_tpu.parallel.mesh import fetch_global
     sol = fetch_global(res.sigma)[:n_real]
     t1 = time.perf_counter()

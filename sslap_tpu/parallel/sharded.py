@@ -63,6 +63,8 @@ def sharded_solve_ell(
     bigp,
     n_real: int,
     axis_name: str = "rows",
+    theta_tail=None,
+    tail_phases: int = 2,
 ) -> _auction.SolveResult:
     """shard_map'd eps-scaled solve.  ``prob`` must already be row-padded to
     the mesh size (pad_rows_for_mesh); ``n_real`` is the pre-padding row
@@ -86,6 +88,8 @@ def sharded_solve_ell(
         return _auction.solve_ell(
             cols, vals, valid, nvalid, p0_rep,
             eps0, eps_min, theta, max_iter,
+            theta_tail=theta_tail,
+            tail_phases=tail_phases,
             combine=combine,
             count_unassigned=count_unassigned,
             row_offset=row_offset,
@@ -129,6 +133,8 @@ def auction_solve_sharded(
     eps_start=None,
     eps_min=None,
     theta: Optional[float] = None,
+    theta_tail: Optional[float] = None,
+    tail_phases: int = 2,
     max_iter: Optional[int] = None,
     cardinality_check: bool = True,
     dtype=None,
@@ -176,11 +182,19 @@ def auction_solve_sharded(
     valid_np = np.asarray(prob.valid)
     vmax_abs = float(np.abs(vals_np[valid_np]).max()) if valid_np.any() else 0.0
     tr = _auction.make_transform(problem, prob.m, vals_np.dtype, vmax_abs)
+    theta_eff = (_auction.device_theta_default(prob.n)
+                 if theta is None else theta)
+    if theta_tail is None:
+        # Mixed tail default, matching the single-chip hybrid: engage the
+        # ratio-3 final drops wherever the aggressive device theta is
+        # (PERF.md round-3 theta A/B; VERDICT r3 missing #2).
+        theta_tail = 3.0 if float(theta_eff) > 5 else 0.0
+    if tail_phases < 1:
+        raise ValueError("tail_phases must be >= 1")
     e0, e_min, theta_v = _auction.default_eps_schedule(
         vals_np.dtype, vmax_abs, prob.m, tr.scale,
         eps_min=eps_min, eps_start=eps_start,
-        theta=(_auction.device_theta_default(prob.n)
-               if theta is None else theta))
+        theta=theta_eff)
     if max_iter is None:
         max_iter = _auction.default_max_iter(prob.n)
 
@@ -209,7 +223,8 @@ def auction_solve_sharded(
     # padding rows are interleaved but have nvalid == 0 and never bid);
     # n_real only drives the implicit-dummy count m - n_real, unchanged.
     res = sharded_solve_ell(prob_p, vals_t, mesh, p0, e0, e_min, theta_v,
-                            max_iter, bigp, n_real, axis_name=axis_name)
+                            max_iter, bigp, n_real, axis_name=axis_name,
+                            theta_tail=theta_tail, tail_phases=tail_phases)
     from sslap_tpu.parallel.mesh import fetch_global
     sol_p = fetch_global(res.sigma)
     if row_order is None:

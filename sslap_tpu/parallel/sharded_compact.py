@@ -116,13 +116,15 @@ def balanced_cap(C: int, n_local: int, D: int, floor: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis_name", "R", "W", "n_glob", "tiers",
-                     "pairs_max", "overlap", "balance", "balance_floor"))
+                     "pairs_max", "overlap", "balance", "balance_floor",
+                     "tail_phases"))
 def _solve_sharded_tiered_jit(
     data,                  # [L, R*W] packed lines (or [n_pad, W] when R=1)
     nvalid,                # [n_pad] int32
     p0,                    # [m]
-    eps0, eps_min, theta, max_iter, bigp, trunc,
+    eps0, eps_min, theta, max_iter, bigp, trunc, theta_tail,
     *,
+    tail_phases: int = 2,
     mesh: Mesh,
     axis_name: str,
     R: int,
@@ -171,7 +173,7 @@ def _solve_sharded_tiered_jit(
         return balanced_cap(C, n_local, D, balance_floor)
 
     def run(data_l, nvalid_l, p0_r, eps0_, eps_min_, theta_, max_iter_,
-            bigp_, trunc_):
+            bigp_, trunc_, theta_tail_):
         shard = lax.axis_index(axis_name)
         row_offset = shard.astype(jnp.int32) * jnp.int32(n_local)
         gids = row_offset + jnp.arange(n_local, dtype=jnp.int32)
@@ -184,6 +186,7 @@ def _solve_sharded_tiered_jit(
 
         eps_min__ = jnp.asarray(eps_min_, dtype)
         theta__ = jnp.asarray(theta_, dtype)
+        theta_tail__ = jnp.asarray(theta_tail_, dtype)
         bigp__ = jnp.asarray(bigp_, dtype)
         max_iter__ = jnp.asarray(max_iter_, jnp.int32)
         trunc__ = jnp.asarray(trunc_, jnp.int32)
@@ -530,7 +533,15 @@ def _solve_sharded_tiered_jit(
 
         def outer_body(carry):
             st, _ = carry
-            new_eps = _auction._next_eps(st.eps, theta__, eps_min__)
+            # Mixed tail schedule (auction._next_eps): the host GS tail's
+            # bid count is set by the FINAL eps drop ratio, and theta=10
+            # end-to-end measured 8.7-44M tail bids on sibling 1M
+            # instances where ratio-3 final drops hold 1-3M (PERF.md
+            # round-3 theta A/B).  Same default as the single-chip
+            # hybrid (VERDICT r3 missing #2).
+            new_eps = _auction._next_eps(st.eps, theta__, eps_min__,
+                                         theta_tail=theta_tail__,
+                                         tail_phases=tail_phases)
             st = run_phase(st._replace(eps=new_eps), first=False)
             done = (st.eps <= eps_min__) | (st.rounds >= max_iter__)
             return st, done
@@ -550,7 +561,7 @@ def _solve_sharded_tiered_jit(
         run,
         mesh=mesh,
         in_specs=(spec_rows, spec_rows, spec_rep, spec_rep, spec_rep,
-                  spec_rep, spec_rep, spec_rep, spec_rep),
+                  spec_rep, spec_rep, spec_rep, spec_rep, spec_rep),
         out_specs=(_auction.SolveResult(
             sigma=spec_rows, prices=spec_rep, rounds=spec_rep,
             phases=spec_rep, final_eps=spec_rep, unassigned=spec_rep),
@@ -558,7 +569,8 @@ def _solve_sharded_tiered_jit(
         check_vma=False,  # replicas provably identical: every commit
         # consumes only collective-combined or all-gathered data
     )
-    return fn(data, nvalid, p0, eps0, eps_min, theta, max_iter, bigp, trunc)
+    return fn(data, nvalid, p0, eps0, eps_min, theta, max_iter, bigp, trunc,
+              theta_tail)
 
 
 def comm_bytes_model(tier_rounds, tiers: Tuple[int, ...], m: int,
@@ -611,6 +623,8 @@ def auction_solve_sharded_hybrid(
     eps_start=None,
     eps_min=None,
     theta: Optional[float] = None,
+    theta_tail: Optional[float] = None,
+    tail_phases: int = 2,
     max_iter: Optional[int] = None,
     cardinality_check: bool = True,
     dtype=None,
@@ -681,11 +695,18 @@ def auction_solve_sharded_hybrid(
         else 0.0
     tr = _auction.make_transform(problem, m, vdtype, vmax_abs,
                                  int_exact=prob.int_exact)
+    theta_eff = (_auction.device_theta_default(n) if theta is None
+                 else theta)
+    if theta_tail is None:
+        # Default-match the single-chip hybrid (hybrid.py): engage the
+        # ratio-3 tail wherever the aggressive device theta is.
+        theta_tail = 3.0 if float(theta_eff) > 5 else 0.0
+    if tail_phases < 1:
+        raise ValueError("tail_phases must be >= 1")
     e0, e_min, theta_v = _auction.default_eps_schedule(
         vdtype, vmax_abs, m, tr.scale,
         eps_min=eps_min, eps_start=eps_start,
-        theta=(_auction.device_theta_default(n) if theta is None
-               else theta), int_exact=prob.int_exact)
+        theta=theta_eff, int_exact=prob.int_exact)
     if max_iter is None:
         max_iter = _auction.default_max_iter(n)
 
@@ -729,16 +750,18 @@ def auction_solve_sharded_hybrid(
     # Scalars need explicit replicated placement too on process-spanning
     # meshes: jit cannot commit process-local values onto such a mesh.
     e0, e_min = np.asarray(e0, vdtype), np.asarray(e_min, vdtype)
+    theta_tail_v = np.asarray(theta_tail, vdtype)
     (data_arr, nvalid_pad, p0, e0, e_min, theta_v, max_iter, bigp,
-     trunc_v) = put_global_args(
-        mesh, (P(axis_name), P(axis_name)) + (P(),) * 7,
+     trunc_v, theta_tail_v) = put_global_args(
+        mesh, (P(axis_name), P(axis_name)) + (P(),) * 8,
         (data_arr, nvalid_pad, p0, e0, e_min, theta_v, max_iter, bigp,
-         trunc_v))
+         trunc_v, theta_tail_v))
 
     t_dev0 = time.perf_counter()
     res, tier_rounds = _solve_sharded_tiered_jit(
         data_arr, nvalid_pad, p0, e0, e_min, theta_v, max_iter, bigp,
-        trunc_v, mesh=mesh, axis_name=axis_name, R=R, W=W, n_glob=n_pad,
+        trunc_v, theta_tail_v, tail_phases=int(tail_phases),
+        mesh=mesh, axis_name=axis_name, R=R, W=W, n_glob=n_pad,
         tiers=tiers, pairs_max=pairs_max, overlap=overlap,
         balance=ladder_balance, balance_floor=balance_floor)
 
