@@ -630,14 +630,31 @@ def main():
         print(f"{name}: PASS")
         return
     for name in PROBES:
-        r = subprocess.run(
-            [sys.executable, __file__, name],
-            capture_output=True, text=True, timeout=600)
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, name],
+                capture_output=True, text=True, timeout=600)
+        except subprocess.TimeoutExpired:
+            # A hung probe is the worker-fault signature (the kernel
+            # wedged the TPU worker; device ops hang, round-3 lesson).
+            # Record it, then check whether the tunnel survived -- if
+            # not, every later probe would just hang too.
+            print(f"{name}: TIMEOUT 600s (likely faulted the worker)",
+                  flush=True)
+            from sslap_tpu.utils import device_alive
+            if not device_alive(wait_s=300):
+                print("tunnel dead after timeout; aborting probe suite "
+                      "(rerun when the backend answers)", flush=True)
+                return
+            continue
         if f"{name}: PASS" in r.stdout:
-            print(f"{name}: PASS")
+            print(f"{name}: PASS", flush=True)
         else:
-            tail = (r.stderr.strip().splitlines() or ["?"])[-1]
-            print(f"{name}: FAIL exit={r.returncode} {tail[:300]}")
+            lines = [ln for ln in r.stderr.strip().splitlines()
+                     if ln and "Platform 'axon'" not in ln]
+            tail = " | ".join(lines[-4:]) if lines else "?"
+            print(f"{name}: FAIL exit={r.returncode} {tail[:600]}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,127 @@
+"""Window-gather wide-round bid: the column-window-grouped formulation.
+
+The full-width (phase-start) bid round's cost is ~entirely the random
+price gather ``prices[cols]`` at ~7 ns/element (XLA scalar lowering,
+PERF.md round-2 primitive table).  The ONE measured 16x-faster gather
+primitive on this stack is the one-hot window-128 gather (0.44 ns/elem,
+PROBE_r2): entries grouped by column window w = col // 128 share a
+single broadcast 128-lane price line, and the per-entry select is a
+VPU compare+select instead of a scalar load.
+
+That primitive produces ``w = a_ij - p_j`` in COLUMN-grouped order,
+while the per-row top-2 needs ROW-major order -- the join back is the
+whole game (every cross-order join measured 2.5-8.7 ns/elem).  This
+module implements the cheapest join: a pair sort keyed by the STATIC
+destination index (the entry's row-major ELL position), measured
+3.5 ns/elem at 10M pairs.  Budget (VERDICT r3 task 6): gather 0.44 +
+sort-join 3.5 + epsilon ~= 4 ns/elem vs the scalar-gather round's ~7 --
+keep only if the measured end-to-end round wins.
+
+The layout is static per instance (cols never change; only prices do),
+so ``build_wide_layout`` runs once at ingest/construct time and the
+round-time work is pure jnp.  Output is BIT-IDENTICAL to
+``vals_t - prices[cols]``: the one-hot sum has exactly one surviving
+term, and the subtraction is the same f32 op in a different order.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+WINDOW = 128
+
+
+class WideLayout(NamedTuple):
+    """Static column-window-grouped layout for one instance.
+
+    coff    [NB, E] int32   per-entry lane offset (col % 128) within its
+                            window; pads are 0
+    vals_cg [NB, E] dtype   transformed values in column-grouped order;
+                            pads are 0 (their w is discarded by the join)
+    dest    [NB*E]  int32   sort key: the entry's row-major ELL flat
+                            position (row*K + k); pads get keys >= n*K so
+                            they sort to the tail and are sliced away
+    n, K, m_pad             logical shape; m_pad = NB*128 >= m
+    """
+
+    coff: jax.Array
+    vals_cg: jax.Array
+    dest: jax.Array
+    n: int
+    K: int
+    m_pad: int
+
+
+def build_wide_layout(cols: np.ndarray, vals_t: np.ndarray,
+                      valid: np.ndarray, m: int) -> WideLayout:
+    """Host-side one-time layout build (numpy; O(nnz log nnz) for the
+    grouping argsort).
+
+    ``vals_t`` must already carry the solve transform (sign*scale) and
+    the invalid-entry sentinel does NOT matter here: invalid entries are
+    routed like any other (their joined w is overwritten by the caller's
+    ``valid`` mask, exactly as the scalar-gather path does).
+    """
+    n, K = cols.shape
+    nK = n * K
+    cols_flat = np.ascontiguousarray(cols, np.int64).reshape(-1)
+    # Clip so invalid/sentinel columns land in a real window.
+    cols_flat = np.clip(cols_flat, 0, m - 1)
+    NB = -(-m // WINDOW)
+    win = (cols_flat // WINDOW).astype(np.int32)
+    # Stable grouping by window; within a window, row-major order is
+    # preserved (helps the sort-join's presortedness not at all, but
+    # keeps the build deterministic).
+    order = np.argsort(win, kind="stable")
+    counts = np.bincount(win, minlength=NB)
+    E = int(counts.max()) if nK else 1
+    # Lay groups out as [NB, E] with per-window pads at the group tail.
+    slot = np.zeros(nK, np.int64)
+    starts = np.zeros(NB + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    # position within group = rank of the entry among its window's
+    # entries in `order` = index - group start
+    grp = win[order].astype(np.int64)
+    pos_in_grp = np.arange(nK, dtype=np.int64) - starts[grp]
+    slot = grp * E + pos_in_grp                     # [nK] position in [NB*E]
+
+    coff = np.zeros(NB * E, np.int32)
+    vals_cg = np.zeros(NB * E, np.asarray(vals_t).dtype)
+    dest = np.full(NB * E, np.iinfo(np.int32).max, np.int32)
+    coff[slot] = (cols_flat[order] % WINDOW).astype(np.int32)
+    vals_cg[slot] = np.ascontiguousarray(vals_t).reshape(-1)[order]
+    dest[slot] = order.astype(np.int32)             # row-major ELL position
+    # Give pads distinct tail keys so the sort output's first nK slots
+    # are exactly the real entries (ties never arise).
+    pad = dest == np.iinfo(np.int32).max
+    dest[pad] = nK + np.arange(int(pad.sum()), dtype=np.int32)
+
+    return WideLayout(
+        coff=jnp.asarray(coff.reshape(NB, E)),
+        vals_cg=jnp.asarray(vals_cg.reshape(NB, E)),
+        dest=jnp.asarray(dest),
+        n=n, K=K, m_pad=NB * WINDOW)
+
+
+def wide_w(layout: WideLayout, prices: jax.Array) -> jax.Array:
+    """w = vals_t - prices[cols] over the whole instance, [n, K], computed
+    gather-free: one-hot window select + static sorted join.  Bit-identical
+    to the scalar-gather formulation (modulo the caller's valid-mask)."""
+    n, K = layout.n, layout.K
+    m = prices.shape[0]
+    if m < layout.m_pad:
+        prices = jnp.pad(prices, (0, layout.m_pad - m))
+    p2d = prices.reshape(-1, WINDOW)                          # [NB, 128]
+    iota = jnp.arange(WINDOW, dtype=jnp.int32)
+    oh = layout.coff[..., None] == iota                       # fused on VPU
+    pg = jnp.sum(jnp.where(oh, p2d[:, None, :],
+                           jnp.zeros((), prices.dtype)), axis=-1)
+    w_cg = (layout.vals_cg - pg).reshape(-1)
+    _, w_sorted = lax.sort((layout.dest, w_cg), num_keys=1)
+    return w_sorted[: n * K].reshape(n, K)

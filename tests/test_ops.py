@@ -200,3 +200,23 @@ def test_gs_kernel_single_entry_rows_match_native_gs():
     assert int(bids_d) == int(bids_h)
     np.testing.assert_array_equal(np.asarray(owner_d), owner_h)
     np.testing.assert_allclose(np.asarray(prices_d), prices_h, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed,n,m,K", [(0, 257, 300, 5), (1, 64, 64, 3),
+                                        (2, 500, 1100, 9)])
+def test_wide_w_bit_identical_to_scalar_gather(seed, n, m, K):
+    # Window-gather wide round (ops/widebid.py, VERDICT r3 task 6): the
+    # col-window-grouped one-hot gather + static sorted join must
+    # reproduce vals - prices[cols] BIT-identically, including invalid
+    # entries (whose routed value is ignored) and m not a multiple of 128.
+    from sslap_tpu.ops.widebid import build_wide_layout, wide_w
+
+    rng = np.random.default_rng(seed)
+    cols = rng.integers(0, m, (n, K), dtype=np.int32)
+    vals = (rng.random((n, K)) * 100).astype(np.float32)
+    valid = rng.random((n, K)) < 0.85
+    layout = build_wide_layout(cols, vals, valid, m)
+    p = jnp.asarray(rng.random(m).astype(np.float32) * 100)
+    ref = vals - np.asarray(p)[np.clip(cols, 0, m - 1)]
+    got = np.asarray(jax.jit(lambda p: wide_w(layout, p))(p))
+    np.testing.assert_array_equal(got[valid], ref[valid].astype(np.float32))

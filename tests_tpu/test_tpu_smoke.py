@@ -96,46 +96,73 @@ def test_pallas_bid_probe_completes(accel):
     assert ok or _bid._last_probe_error, "no verdict and no error recorded"
 
 
+@pytest.mark.xfail(
+    reason="GS kernel faults the TPU worker at runtime on this Mosaic "
+           "toolchain (commit a445c7f).  Bisect state (benchmarks/"
+           "probe_mosaic_gs.py, round 4 on-chip): DMA probes PASS "
+           "(dma_hbm_dynrows, dma_vmem_dynoff2/8); lane_read_write "
+           "(rank-1 VMEM one-hot window read + blend store at dynamic "
+           "lane) FAILS, and lane_read_write_2d HUNG the worker -- the "
+           "fault is in the lane read/write primitives, not the DMA "
+           "machinery.  The interpret-mode twin (tests/test_ops.py) "
+           "remains the semantics oracle.  Quarantined so the on-chip "
+           "suite stays green while the bisect completes (VERDICT r3 "
+           "task 4).", strict=False)
 def test_gs_kernel_compiled_matches_native(accel):
     # The on-device GS kernel COMPILED through real Mosaic (the main suite
     # only exercises interpret mode) vs the native C++ GS, including
     # 1-nnz rows (the round-3 single-valid-entry fix).
+    #
+    # SUBPROCESS-ISOLATED: the kernel has twice faulted/wedged the TPU
+    # worker (rounds 3-4); a hang here must cost this test its timeout,
+    # not the whole suite its tunnel.
     from sslap_tpu.hybrid import native_available
     if not native_available():
         pytest.skip("native toolchain unavailable")
-    import jax.numpy as jnp
-    from sslap_tpu.native import auction_gs as gs_host
-    from sslap_tpu.ops.gs_kernel import gs_auction_device
-    from sslap_tpu import ingest as I
-    from sslap_tpu import hybrid as H
+    import subprocess
+    import sys
+    code = r"""
+import numpy as np
+import jax.numpy as jnp
+from sslap_tpu.native import auction_gs as gs_host
+from sslap_tpu.ops.gs_kernel import gs_auction_device
+from sslap_tpu import ingest as I
+from sslap_tpu import hybrid as H
 
-    rng = np.random.default_rng(13)
-    n = m = 32
-    locs = [(0, 0)]                       # row 0: single valid entry
-    for i in range(1, n):
-        cols_i = {i} | set(rng.integers(0, m, 3).tolist())
-        locs += [(i, j) for j in cols_i]
-    loc = np.array(sorted(set(locs)))
-    val = rng.random(len(loc)).astype(np.float32) * 50 + 1
-    prob = I.from_coo(loc, val, shape=(n, m))
-    indptr, indices, data = H.ell_to_csr_transformed(prob, -1, 1)
-    bigp = float(data.max() - data.min()) + 1.0
+rng = np.random.default_rng(13)
+n = m = 32
+locs = [(0, 0)]
+for i in range(1, n):
+    cols_i = {i} | set(rng.integers(0, m, 3).tolist())
+    locs += [(i, j) for j in cols_i]
+loc = np.array(sorted(set(locs)))
+val = rng.random(len(loc)).astype(np.float32) * 50 + 1
+prob = I.from_coo(loc, val, shape=(n, m))
+indptr, indices, data = H.ell_to_csr_transformed(prob, -1, 1)
+bigp = float(data.max() - data.min()) + 1.0
 
-    prices_h = np.zeros(m, np.float32)
-    sigma_h = np.full(n, -1, np.int32)
-    owner_h = np.full(m, -1, np.int32)
-    bids_h = gs_host(indptr, indices, data, prices_h, sigma_h, owner_h,
-                     np.float32(2.0), np.float32(bigp), 0, 10 ** 6)
+prices_h = np.zeros(m, np.float32)
+sigma_h = np.full(n, -1, np.int32)
+owner_h = np.full(m, -1, np.int32)
+bids_h = gs_host(indptr, indices, data, prices_h, sigma_h, owner_h,
+                 np.float32(2.0), np.float32(bigp), 0, 10 ** 6)
 
-    vals_t = np.where(np.asarray(prob.valid),
-                      np.asarray(prob.vals) * -1.0,
-                      -2.0 * bigp).astype(np.float32)
-    queue = np.full(n + 1, -1, np.int32)
-    queue[:n] = np.arange(n)
-    prices_d, owner_d, _, bids_d, left = gs_auction_device(
-        jnp.asarray(np.asarray(prob.cols)), jnp.asarray(vals_t),
-        jnp.asarray(queue), n, jnp.zeros(m, jnp.float32),
-        jnp.full((m,), -1, jnp.int32), 2.0, bigp, 10 ** 6)
-    assert int(left) == 0 and int(bids_d) == int(bids_h)
-    np.testing.assert_array_equal(np.asarray(owner_d), owner_h)
-    np.testing.assert_allclose(np.asarray(prices_d), prices_h, rtol=1e-6)
+vals_t = np.where(np.asarray(prob.valid),
+                  np.asarray(prob.vals) * -1.0,
+                  -2.0 * bigp).astype(np.float32)
+queue = np.full(n + 1, -1, np.int32)
+queue[:n] = np.arange(n)
+prices_d, owner_d, _, bids_d, left = gs_auction_device(
+    jnp.asarray(np.asarray(prob.cols)), jnp.asarray(vals_t),
+    jnp.asarray(queue), n, jnp.zeros(m, jnp.float32),
+    jnp.full((m,), -1, jnp.int32), 2.0, bigp, 10 ** 6)
+assert int(left) == 0 and int(bids_d) == int(bids_h)
+np.testing.assert_array_equal(np.asarray(owner_d), owner_h)
+np.testing.assert_allclose(np.asarray(prices_d), prices_h, rtol=1e-6)
+print("GS_KERNEL_OK")
+"""
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=600)
+    assert "GS_KERNEL_OK" in r.stdout, (
+        f"exit={r.returncode} stderr tail: "
+        f"{(r.stderr.strip().splitlines() or ['?'])[-3:]}")
