@@ -1,0 +1,231 @@
+"""End-to-end tracking-workload benchmark (VERDICT r3 task 8).
+
+The motivating workload for warm starts: a persistent assignment problem
+re-solved frame after frame as costs drift (object tracking, sensor
+fusion).  This harness composes the package's three warm paths the way
+that workload would:
+
+  - ``warm_prices``    previous frame's dual prices seed the auction
+  - ``hopcroft_solve(warm=)``  previous matching seeds the feasibility
+                       re-check when the sparsity pattern changed
+  - construct-once     ``AuctionSolver`` device caches (pattern-stable
+                       frames skip re-ingest and H2D entirely)
+
+Two drift families over a 1M x 1M / 10 nnz/row instance:
+
+  values : costs drift (clipped Gaussian), sparsity pattern FIXED.
+           Warm frames skip feasibility (pattern unchanged) and re-solve
+           from the previous duals with a DRIFT-MATCHED schedule
+           (eps_start ~ 4x the drift sigma): the auction's residual work
+           after a warm start scales with (price error / eps), so
+           restarting at eps ~ drift and descending gives 2-3 cheap
+           phases, where eps_start=0 (a single eps_min phase) measured
+           a blown bid budget -- the price error is ~10^4 eps_min.
+           Exactness is unchanged (the final phase still completes at
+           eps_min).
+  pattern: 0.1% of non-anchor edges replaced per frame (plus value
+           drift).  Warm frames re-ingest, warm-HK from the previous
+           matching, and warm-start prices.
+
+Cold frames solve from scratch (fresh solver, full HK, full eps
+schedule).  Output: one JSON line per frame + a frames/s summary.
+
+Usage: python benchmarks/tracking.py [--n 1000000] [--frames 3]
+                                     [--mode hybrid|cpu|auto]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def drift_values(val, rng, sigma=10.0, low=1.0, high=1000.0):
+    return np.clip(val + rng.standard_normal(val.shape).astype(np.float32)
+                   * np.float32(sigma), low, high).astype(np.float32)
+
+
+def drift_pattern(rr, cc, vv, n, m, n_anchor, rng, frac=1e-3,
+                  low=1.0, high=1000.0):
+    """Replace ``frac`` of the non-anchor edges with fresh random ones.
+    The first ``n_anchor`` edges (a permutation) stay put so every frame
+    remains feasible -- the tracking analogue of persistent detections."""
+    e = rr.shape[0]
+    repl = rng.random(e) < frac
+    repl[:n_anchor] = False
+    k = int(repl.sum())
+    rr = rr.copy()
+    cc = cc.copy()
+    vv = vv.copy()
+    rr[repl] = rng.integers(0, n, k)
+    cc[repl] = rng.integers(0, m, k)
+    vv[repl] = (rng.random(k) * (high - low) + low).astype(np.float32)
+    # de-dup (drop later duplicates of the same cell, same as ingest would)
+    key = rr.astype(np.int64) * m + cc
+    _, idx = np.unique(key, return_index=True)
+    return rr[idx], cc[idx], vv[idx]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--mode", default=None,
+                    help="solver mode (default: hybrid if the device "
+                         "answers, else cpu)")
+    ap.add_argument("--sigma", type=float, default=10.0,
+                    help="per-frame cost drift stddev (cost range 1..1000)")
+    args = ap.parse_args()
+
+    from sslap_tpu import AuctionSolver, hopcroft_solve
+    from sslap_tpu.utils import device_alive
+
+    mode = args.mode
+    if mode is None:
+        mode = "hybrid" if device_alive() else "cpu"
+        log(f"mode resolved: {mode}")
+
+    import bench
+    n = args.n
+    rng = np.random.default_rng(0)
+    rr, cc, vv = bench.make_instance(n, n, 9, seed=0)
+    # bench.make_instance appends the feasibility permutation LAST and
+    # de-dups; re-derive an anchor set = one edge per row via the solve
+    # itself (the previous matching is the anchor in a real tracker).
+    log(f"instance: {n}x{n} nnz={rr.shape[0]}")
+
+    results = []
+    carry = {}
+
+    def frame(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        rec = {"frame": name, "s": round(dt, 3), **out}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+        return dt
+
+    # ---------------- family A: value drift, fixed pattern ---------------
+    loc = np.stack([rr, cc], 1)
+
+    def frame0():
+        solver = AuctionSolver(loc=loc, val=vv, shape=(n, n), mode=mode,
+                               cardinality_check=True)
+        res = solver.solve()
+        carry["prices"] = res.get("prices")
+        return {"obj": res["meta"]["obj"],
+                "host_bids": res["meta"]["host_bids"]}
+
+    frame("A0_cold_construct+hk+solve", frame0)
+    prices = carry.pop("prices")
+
+    vals_f = vv
+    for f in range(1, args.frames + 1):
+        vals_f = drift_values(vals_f, rng, sigma=args.sigma)
+
+        # cold: fresh solver (re-ingest + HK + full schedule, no warm state)
+        def cold(vals_f=vals_f):
+            s = AuctionSolver(loc=loc, val=vals_f, shape=(n, n), mode=mode,
+                              cardinality_check=True)
+            r = s.solve()
+            return {"obj": r["meta"]["obj"],
+                    "host_bids": r["meta"]["host_bids"]}
+
+        frame(f"A{f}_cold", cold)
+
+        # warm: same solver object (device caches keyed on the pattern are
+        # stale for values -- a fresh solver but NO HK and warm prices +
+        # single final phase)
+        def warm(vals_f=vals_f, prices=prices):
+            s = AuctionSolver(loc=loc, val=vals_f, shape=(n, n), mode=mode,
+                              cardinality_check=False, eps_start=4.0 * args.sigma)
+            r = s.solve(warm_prices=prices)
+            carry["prices"] = r.get("prices")
+            return {"obj": r["meta"]["obj"],
+                    "host_bids": r["meta"]["host_bids"],
+                    "phases": r["meta"]["phases"]}
+
+        frame(f"A{f}_warm", warm)
+        prices = carry.pop("prices")
+
+    # ---------------- family B: pattern + value drift ---------------------
+    rrB, ccB, vvB = rr, cc, vv
+    locB = np.stack([rrB, ccB], 1)
+    sB = AuctionSolver(loc=locB, val=vvB, shape=(n, n), mode=mode,
+                       cardinality_check=False)
+    rB = sB.solve()
+    pricesB = rB.get("prices")
+    matchB = rB["sol"]
+
+    for f in range(1, args.frames + 1):
+        rrB, ccB, vvB = drift_pattern(rrB, ccB, vvB, n, n, 0, rng)
+        vvB = drift_values(vvB, rng, sigma=args.sigma)
+        locB = np.stack([rrB, ccB], 1)
+
+        def coldB(locB=locB, vvB=vvB):
+            s = AuctionSolver(loc=locB, val=vvB, shape=(n, n), mode=mode,
+                              cardinality_check=True)   # full cold HK inside
+            r = s.solve()
+            return {"obj": r["meta"]["obj"],
+                    "host_bids": r["meta"]["host_bids"],
+                    "feasible": r["meta"]["soln_found"]}
+
+        frame(f"B{f}_cold", coldB)
+
+        def warmB(locB=locB, vvB=vvB, pricesB=pricesB, matchB=matchB):
+            t0 = time.perf_counter()
+            mt = hopcroft_solve(loc=locB, shape=(n, n), warm=matchB)
+            hk_s = time.perf_counter() - t0
+            feasible = bool((mt >= 0).all())
+            s = AuctionSolver(loc=locB, val=vvB, shape=(n, n), mode=mode,
+                              cardinality_check=False, eps_start=4.0 * args.sigma)
+            r = s.solve(warm_prices=pricesB)
+            carry["prices"] = r.get("prices")
+            carry["sol"] = r["sol"]
+            return {"obj": r["meta"]["obj"], "hk_s": round(hk_s, 3),
+                    "host_bids": r["meta"]["host_bids"],
+                    "feasible": feasible}
+
+        frame(f"B{f}_warm", warmB)
+        pricesB = carry.pop("prices")
+        matchB = carry.pop("sol")
+
+    # ---------------- summary --------------------------------------------
+    def fps(prefix, suffix):
+        ts = [r["s"] for r in results
+              if r["frame"].startswith(prefix)
+              and r["frame"].endswith(suffix)]
+        return round(len(ts) / sum(ts), 3) if ts else None
+
+    summary = {
+        "mode": mode, "n": n, "frames": args.frames,
+        "fps_value_drift_cold": fps("A", "_cold"),
+        "fps_value_drift_warm": fps("A", "_warm"),
+        "fps_pattern_drift_cold": fps("B", "_cold"),
+        "fps_pattern_drift_warm": fps("B", "_warm"),
+    }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,9 @@ step bench_full 3600 python bench.py
 # validation at the headline size; ADVICE-fixed harness, 3 reps).
 step theta_steady 5400 python benchmarks/theta_steady_ab.py
 
+# 5b. Tracking workload: cold vs warm frames at 1M (VERDICT r3 task 8).
+step tracking 3600 python benchmarks/tracking.py --frames 2
+
 if [ "$MODE" = "scale" ]; then
   # 6. 10M x 10M full rerun with the fused host stages (VERDICT r3 task
   # 7; expected ~35 min solver path).  BEFORE the smoke suite: the GS
