@@ -124,6 +124,7 @@ class AuctionSolver:
         mode=_UNSET,
         keep_assignment=_UNSET,
         engine=_UNSET,
+        wide_rounds=_UNSET,
         config=None,
     ):
         # Resolution order: explicit kwarg > AuctionConfig > built-in
@@ -146,6 +147,7 @@ class AuctionSolver:
         keep_assignment = pick(keep_assignment, "keep_assignment")
         dtype = pick(dtype, "dtype")
         engine = pick(engine, "engine")
+        wide_rounds = pick(wide_rounds, "wide_rounds")
 
         self.problem_spec = _ingest_any(mat=mat, loc=loc, val=val, shape=shape,
                                         dtype=dtype, pad_to=pad_to)
@@ -177,6 +179,9 @@ class AuctionSolver:
         if engine not in ("auto", "compact", "candidates", "dense"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
+        # Window-gather phase starts (ops/widebid.py): None = auto
+        # (square hybrid, n >= 400k), True/False = force.
+        self.wide_rounds = wide_rounds
         self.prices: Optional[np.ndarray] = None
         self.meta: Optional[dict] = None
         # Device-resident problem data reused across solve() calls
@@ -371,7 +376,8 @@ class AuctionSolver:
                     max_iter=self.max_iter, mode=mode,
                     warm_prices=warm_prices,
                     keep_assignment=self.keep_assignment, engine=engine,
-                    device_cache=self._device_cache)
+                    device_cache=self._device_cache,
+                    wide_rounds=self.wide_rounds)
             except jax.errors.JaxRuntimeError as e:
                 if mode != "hybrid":
                     raise

@@ -232,6 +232,7 @@ def compact_round(
     *,
     phase_start: bool = False,
     pairs_resolve_max: int = 8192,
+    w_full=None,
 ):
     """One auction round over the compacted active set ``ids`` (pad = n).
 
@@ -251,6 +252,14 @@ def compact_round(
     scatter path pays -- the VPU O(C^2) pass is cheaper up to ~8k);
     larger tiers use the scatter-max/scatter-min path.
 
+    ``w_full``: precomputed full-width w = vals_m - prices[cols] for ALL
+    n rows (the window-gather round, ops/widebid.py -- measured 1.69x the
+    scalar-gather round on-chip).  Callers may pass it ONLY for identity
+    full-width rounds (C == n and ids[i] in {i, n}, the phase-start
+    shape): per-position data then equals per-row data, the pack is read
+    by reshape instead of gather, and the price gather disappears.
+    Bit-identical to the scalar path.
+
     Returns (prices, owner, sigma, new_ids, n_won, n_evicted).
     """
     n = sigma.shape[0]
@@ -260,15 +269,23 @@ def compact_round(
     neg = neg_sentinel(dtype)
 
     live = ids < n
-    # clip-mode gathers (not where+gather): sidesteps an XLA TPU compiler
-    # CHECK-failure ("cycle detected" in while-loop analysis) triggered by
-    # select feeding gather inside nested while bodies.
-    pk = fetch_rows(rowpack, ids)               # [C, 2K+1] one slice gather
-    colsC, valsC, nvC = _unpack_rows(pk, dtype)
-    K = colsC.shape[1]
-    nvC = jnp.where(live, nvC, 0)
-
-    w = valsC - prices[colsC]                              # [C, K]
+    if w_full is not None:
+        assert C == n, "w_full requires the full-width identity round"
+        base = (rowpack.data.reshape(-1, rowpack.W)[:n]
+                if isinstance(rowpack, RowPack) else rowpack)
+        colsC, valsC, nvC = _unpack_rows(base, dtype)
+        K = colsC.shape[1]
+        nvC = jnp.where(live, nvC, 0)
+        w = w_full
+    else:
+        # clip-mode gathers (not where+gather): sidesteps an XLA TPU
+        # compiler CHECK-failure ("cycle detected" in while-loop analysis)
+        # triggered by select feeding gather inside nested while bodies.
+        pk = fetch_rows(rowpack, ids)           # [C, 2K+1] one slice gather
+        colsC, valsC, nvC = _unpack_rows(pk, dtype)
+        K = colsC.shape[1]
+        nvC = jnp.where(live, nvC, 0)
+        w = valsC - prices[colsC]                          # [C, K]
     slot = jnp.argmax(w, axis=1)
     onehot = jnp.arange(K, dtype=jnp.int32)[None, :] == slot[:, None]
     v1 = jnp.max(w, axis=1)
@@ -414,6 +431,7 @@ def solve_ell_tiered(
     max_phases: Optional[int] = None,
     theta_tail=None,
     tail_phases: int = 2,
+    wide_layout=None,
 ):
     """eps-scaled tiered-compaction solve for square effective problems
     (no implicit dummies).  Same result contract as auction.solve_ell.
@@ -447,7 +465,7 @@ def solve_ell_tiered(
         rowpack, nvalid, p0, eps0, eps_min, theta, max_iter,
         tiers=tiers, bigp=bigp, trunc=trunc, init_state=init_state,
         max_phases=max_phases, theta_tail=theta_tail,
-        tail_phases=tail_phases)
+        tail_phases=tail_phases, wide_layout=wide_layout)
 
 
 def solve_rowpack_tiered(
@@ -466,6 +484,7 @@ def solve_rowpack_tiered(
     max_phases: Optional[int] = None,
     theta_tail=None,
     tail_phases: int = 2,
+    wide_layout=None,
 ):
     """Tiered solve over pre-packed per-row data (see solve_ell_tiered for
     the contract).  Taking a RowPack directly matters at capacity scale:
@@ -497,9 +516,15 @@ def solve_rowpack_tiered(
         if first:
             # Everything unassigned; restrict to biddable rows.
             ids_full = jnp.where(nvalid > 0, all_rows, jnp.int32(n))
+        w_full = None
+        if wide_layout is not None:
+            # Window-gather full-width w (ops/widebid.py): 1.69x the
+            # scalar-gather round on-chip, bit-identical output.
+            from sslap_tpu.ops.widebid import wide_w
+            w_full = wide_w(wide_layout, prices)
         prices, owner, sigma, ids, n_won, n_evi = compact_round(
             rowpack, prices, owner, sigma,
-            ids_full, st.eps, bigp, phase_start=not first)
+            ids_full, st.eps, bigp, phase_start=not first, w_full=w_full)
         rounds = st.rounds + 1
         tier_rounds = st.tier_rounds.at[0].add(1)
         active = count_active(ids)

@@ -42,6 +42,10 @@ class AuctionConfig:
                                          # |'sharded'|'overlapped'
     keep_assignment: bool = True         # warm-started eps phases
     dtype: Optional[object] = None       # force device dtype
+    wide_rounds: Optional[bool] = None   # window-gather phase starts on
+                                         # the square hybrid (None = auto:
+                                         # on at n >= 400k; see
+                                         # ops/widebid.py)
     engine: str = "auto"                 # square device engine: 'auto'|
                                          # 'compact'|'candidates'|'dense'
 
@@ -76,5 +80,6 @@ class AuctionConfig:
             "mode": self.mode,
             "keep_assignment": self.keep_assignment,
             "dtype": self.dtype,
+            "wide_rounds": self.wide_rounds,
             "engine": self.engine,
         }

@@ -26,7 +26,7 @@ term, and the subtraction is the same f32 op in a different order.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import numpy as np
 
@@ -37,7 +37,9 @@ from jax import lax
 WINDOW = 128
 
 
-class WideLayout(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class WideLayout:
     """Static column-window-grouped layout for one instance.
 
     coff    [NB, E] int32   per-entry lane offset (col % 128) within its
@@ -47,7 +49,7 @@ class WideLayout(NamedTuple):
     dest    [NB*E]  int32   sort key: the entry's row-major ELL flat
                             position (row*K + k); pads get keys >= n*K so
                             they sort to the tail and are sliced away
-    n, K, m_pad             logical shape; m_pad = NB*128 >= m
+    n, K, m_pad             logical shape (static); m_pad = NB*128 >= m
     """
 
     coff: jax.Array
@@ -56,6 +58,14 @@ class WideLayout(NamedTuple):
     n: int
     K: int
     m_pad: int
+
+    def tree_flatten(self):
+        return (self.coff, self.vals_cg, self.dest), \
+            (self.n, self.K, self.m_pad)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
 
 def build_wide_layout(cols: np.ndarray, vals_t: np.ndarray,
