@@ -362,13 +362,9 @@ def solve_hybrid(
             else:
                 from sslap_tpu.ops.widebid import build_wide_layout
                 neg_np = np.asarray(_auction.neg_sentinel(dtype))
-                vals_m = np.where(
-                    valid_np,
-                    (vals_np * np.asarray(tr.sign * tr.scale,
-                                          vals_np.dtype)).astype(dtype),
-                    neg_np)
                 wide_dev = jax.device_put(build_wide_layout(
-                    np.asarray(prob.cols), vals_m, valid_np, m))
+                    np.asarray(prob.cols), vals_np, valid_np, m,
+                    sign_scale=tr.sign * tr.scale, neg=neg_np))
                 if device_cache is not None:
                     device_cache.update(wide_key=cache_key, wide=wide_dev)
         res, tier_rounds = _device_rowpack_solve(

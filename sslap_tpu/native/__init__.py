@@ -22,6 +22,7 @@ if _lib is not None:
         hopcroft_karp_native_i32,
         hopcroft_karp_warm_native,
         rowpack_fill,
+        wide_fill,
         unassign_violators_native,
     )
 else:  # toolchain unavailable: numpy fallbacks are used by callers
@@ -34,3 +35,4 @@ else:  # toolchain unavailable: numpy fallbacks are used by callers
     auction_gs = None
     unassign_violators_native = None
     rowpack_fill = None
+    wide_fill = None

@@ -86,6 +86,19 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.sslap_rowpack_fill_i32.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i32p, i32p, b8p, i32p,
         ctypes.c_int32, ctypes.c_int32, i32p]
+    lib.sslap_wide_count.restype = None
+    lib.sslap_wide_count.argtypes = [
+        ctypes.c_int64, i32p, ctypes.c_int32, i64p]
+    lib.sslap_wide_fill_f32.restype = None
+    lib.sslap_wide_fill_f32.argtypes = [
+        ctypes.c_int64, i32p, f32p, b8p, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, i64p, i32p, f32p,
+        i32p]
+    lib.sslap_wide_fill_i32.restype = None
+    lib.sslap_wide_fill_i32.argtypes = [
+        ctypes.c_int64, i32p, i32p, b8p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p,
+        i32p]
     lib.sslap_ell_to_csr_f32.restype = None
     lib.sslap_ell_to_csr_f32.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i32p, f32p, b8p,
@@ -311,6 +324,45 @@ def rowpack_fill(cols: np.ndarray, vals: np.ndarray, valid: np.ndarray,
        _ptr(valid, ctypes.c_bool), _ptr(nvalid, ctypes.c_int32),
        ct(sign_scale), ct(neg), _ptr(out, ctypes.c_int32))
     return out
+
+
+def wide_fill(cols: np.ndarray, vals: np.ndarray, valid: np.ndarray,
+              m: int, sign_scale, neg):
+    """Fused native wide-layout build (ops/widebid.py): counting-sort
+    placement of ELL entries into column-window groups, transform +
+    sentinel masking in the same pass.  Returns (coff [NB, E],
+    vals_cg [NB, E], dest [NB*E]) or None when native/dtype unavailable.
+    Bit-identical to the numpy stable-argsort path."""
+    lib = load_native()
+    if lib is None:
+        return None
+    dtype = vals.dtype
+    if dtype == np.float32:
+        fn, ct = lib.sslap_wide_fill_f32, ctypes.c_float
+    elif dtype == np.int32:
+        fn, ct = lib.sslap_wide_fill_i32, ctypes.c_int32
+    else:
+        return None
+    n, K = cols.shape
+    nK = n * K
+    NB = -(-m // 128)
+    cols = np.ascontiguousarray(cols, np.int32)
+    vals = np.ascontiguousarray(vals, dtype)
+    valid = np.ascontiguousarray(valid, bool)
+    counts = np.zeros(NB, np.int64)
+    lib.sslap_wide_count(nK, _ptr(cols, ctypes.c_int32),
+                         ctypes.c_int32(m), _ptr(counts, ctypes.c_int64))
+    E = max(int(counts.max()), 1) if nK else 1
+    cursor = np.zeros(NB, np.int64)
+    coff = np.zeros((NB, E), np.int32)
+    vals_cg = np.zeros((NB, E), dtype)
+    dest = np.empty(NB * E, np.int32)
+    fn(nK, _ptr(cols, ctypes.c_int32), _ptr(vals, ct),
+       _ptr(valid, ctypes.c_bool), ct(sign_scale), ct(neg),
+       ctypes.c_int32(m), ctypes.c_int64(NB), ctypes.c_int64(E),
+       _ptr(cursor, ctypes.c_int64), _ptr(coff, ctypes.c_int32),
+       _ptr(vals_cg, ct), _ptr(dest, ctypes.c_int32))
+    return coff, vals_cg, dest
 
 
 def auction_gs(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,

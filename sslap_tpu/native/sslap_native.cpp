@@ -293,6 +293,62 @@ void sslap_rowpack_fill_i32(int64_t n, int64_t K, const int32_t* cols,
                         out);
 }
 
+// Wide-layout (column-window-grouped) fill for ops/widebid.py: counting-
+// sort placement of ELL entries into [NB, E] window groups, fused with the
+// min/max transform + sentinel masking.  Sequential q-ascending traversal
+// makes the grouping stable by construction (bit-parity with the numpy
+// stable-argsort path is asserted in tests/test_ops.py).
+
+void sslap_wide_count(int64_t nK, const int32_t* cols, int32_t m,
+                      int64_t* counts /* [ceil(m/128)] zeroed */) {
+  for (int64_t q = 0; q < nK; ++q) {
+    int32_t c = cols[q];
+    if (c < 0) c = 0; else if (c >= m) c = m - 1;
+    counts[c >> 7]++;
+  }
+}
+
+}  // extern "C" (template below; C entry points follow)
+
+template <typename T>
+static void wide_fill(int64_t nK, const int32_t* cols, const T* vals,
+                      const bool* valid, T sign_scale, T neg, int32_t m,
+                      int64_t NB, int64_t E, int64_t* cursor /* zeroed */,
+                      int32_t* coff, T* vals_cg, int32_t* dest) {
+  for (int64_t q = 0; q < nK; ++q) {
+    int32_t c = cols[q];
+    if (c < 0) c = 0; else if (c >= m) c = m - 1;
+    int64_t w = c >> 7;
+    int64_t slot = w * E + cursor[w]++;
+    coff[slot] = c & 127;
+    vals_cg[slot] = valid[q] ? static_cast<T>(vals[q] * sign_scale) : neg;
+    dest[slot] = static_cast<int32_t>(q);
+  }
+  int32_t pad = static_cast<int32_t>(nK);
+  for (int64_t w = 0; w < NB; ++w)
+    for (int64_t e = cursor[w]; e < E; ++e)
+      dest[w * E + e] = pad++;
+}
+
+extern "C" {
+
+void sslap_wide_fill_f32(int64_t nK, const int32_t* cols, const float* vals,
+                         const bool* valid, float sign_scale, float neg,
+                         int32_t m, int64_t NB, int64_t E, int64_t* cursor,
+                         int32_t* coff, float* vals_cg, int32_t* dest) {
+  wide_fill<float>(nK, cols, vals, valid, sign_scale, neg, m, NB, E, cursor,
+                   coff, vals_cg, dest);
+}
+
+void sslap_wide_fill_i32(int64_t nK, const int32_t* cols,
+                         const int32_t* vals, const bool* valid,
+                         int32_t sign_scale, int32_t neg, int32_t m,
+                         int64_t NB, int64_t E, int64_t* cursor,
+                         int32_t* coff, int32_t* vals_cg, int32_t* dest) {
+  wide_fill<int32_t>(nK, cols, vals, valid, sign_scale, neg, m, NB, E,
+                     cursor, coff, vals_cg, dest);
+}
+
 void sslap_ell_fill_i32(int64_t nnz, int64_t n, int64_t K,
                         const int64_t* rr, const int64_t* cc,
                         const int32_t* vv, const int64_t* perm,

@@ -69,16 +69,39 @@ class WideLayout:
 
 
 def build_wide_layout(cols: np.ndarray, vals_t: np.ndarray,
-                      valid: np.ndarray, m: int) -> WideLayout:
-    """Host-side one-time layout build (numpy; O(nnz log nnz) for the
-    grouping argsort).
+                      valid: np.ndarray, m: int,
+                      sign_scale=None, neg=None) -> WideLayout:
+    """Host-side one-time layout build.
 
-    ``vals_t`` must already carry the solve transform (sign*scale) and
-    the invalid-entry sentinel does NOT matter here: invalid entries are
-    routed like any other (their joined w is overwritten by the caller's
-    ``valid`` mask, exactly as the scalar-gather path does).
+    Default (``sign_scale`` is None): ``vals_t`` already carries the solve
+    transform and sentinel masking.  With ``sign_scale``/``neg``, vals_t
+    holds RAW costs and the transform + masking fuse into the build --
+    with the native pass (native/build.py:wide_fill, a two-pass counting
+    sort) the whole build is O(nnz) with no argsort and no [nnz] temps
+    (the numpy pipeline measured ~29 s at 1M x 10 on a contended host).
+    Both paths are bit-identical.
     """
     n, K = cols.shape
+    if sign_scale is not None:
+        try:
+            from sslap_tpu.native import wide_fill as _wf_native
+        except Exception:   # pragma: no cover
+            _wf_native = None
+        if _wf_native is not None:
+            out = _wf_native(np.asarray(cols), np.asarray(vals_t),
+                             np.asarray(valid), m, sign_scale, neg)
+            if out is not None:
+                coff, vals_cg, dest = out
+                return WideLayout(
+                    coff=jnp.asarray(coff), vals_cg=jnp.asarray(vals_cg),
+                    dest=jnp.asarray(dest), n=n, K=K,
+                    m_pad=coff.shape[0] * WINDOW)
+        # numpy fallback: materialize the masked transform first
+        vals_t = np.where(np.asarray(valid),
+                          (np.asarray(vals_t)
+                           * np.asarray(sign_scale,
+                                        np.asarray(vals_t).dtype)),
+                          neg).astype(np.asarray(vals_t).dtype)
     nK = n * K
     cols_flat = np.ascontiguousarray(cols, np.int64).reshape(-1)
     # Clip so invalid/sentinel columns land in a real window.
