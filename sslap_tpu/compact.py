@@ -529,6 +529,37 @@ def solve_rowpack_tiered(
         tier_rounds = st.tier_rounds.at[0].add(1)
         active = count_active(ids)
 
+        if wide_layout is not None:
+            # Keep running FULL-WIDTH window rounds while the active set
+            # is wide enough that n*K_slots x 4.42 ns beats the compacted
+            # round's C*K x ~9 ns scalar gathers (crossover ~0.49n; 0.4n
+            # keeps a margin for the merge/commit terms).  Bit-identical
+            # to the ladder path it replaces only in OBJECTIVE terms: the
+            # round partition differs, so this engages only on the wide
+            # tiers the crossover justifies.
+            from sslap_tpu.ops.widebid import wide_w as _wide_w
+            wide_floor = jnp.int32((2 * n) // 5)
+
+            def wcond(c):
+                _, _, _, _, act, rnd = c
+                return (act > wide_floor) & (rnd < max_iter)
+
+            def wbody(c):
+                prices, owner, sigma, ids, act, rnd = c
+                idsf = jnp.where((sigma < 0) & (nvalid > 0), all_rows,
+                                 jnp.int32(n))
+                wf = _wide_w(wide_layout, prices)
+                prices, owner, sigma, ids, n_won, n_evi = compact_round(
+                    rowpack, prices, owner, sigma, idsf, st.eps, bigp,
+                    w_full=wf)
+                return (prices, owner, sigma, ids, act - n_won + n_evi,
+                        rnd + 1)
+
+            rb = rounds
+            (prices, owner, sigma, ids, active, rounds) = lax.while_loop(
+                wcond, wbody, (prices, owner, sigma, ids, active, rounds))
+            tier_rounds = tier_rounds.at[0].add(rounds - rb)
+
         prices, owner, sigma, ids, active, rounds, tier_rounds = tier_ladder(
             rowpack,
             prices, owner, sigma, ids, active, rounds, st.eps,
