@@ -86,6 +86,8 @@ def drift_pattern(rr, cc, vv, n, m, n_anchor, rng, frac=1e-3,
 
 
 def main():
+    import faulthandler
+    faulthandler.dump_traceback_later(180, repeat=True, file=sys.stderr)
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--frames", type=int, default=3)
@@ -171,9 +173,12 @@ def main():
     # ---------------- family B: pattern + value drift ---------------------
     rrB, ccB, vvB = rr, cc, vv
     locB = np.stack([rrB, ccB], 1)
+    log("family B: construct")
     sB = AuctionSolver(loc=locB, val=vvB, shape=(n, n), mode=mode,
                        cardinality_check=False)
+    log("family B: pre-solve")
     rB = sB.solve()
+    log("family B: pre-solve done")
     pricesB = rB.get("prices")
     matchB = rB["sol"]
 

@@ -362,9 +362,13 @@ def solve_hybrid(
             else:
                 from sslap_tpu.ops.widebid import build_wide_layout
                 neg_np = np.asarray(_auction.neg_sentinel(dtype))
-                wide_dev = jax.device_put(build_wide_layout(
+                lay = build_wide_layout(
                     np.asarray(prob.cols), vals_np, valid_np, m,
-                    sign_scale=tr.sign * tr.scale, neg=neg_np))
+                    sign_scale=tr.sign * tr.scale, neg=neg_np)
+                # None = skew guard refused the layout (a degenerate
+                # column window would blow the padding up); the scalar
+                # rounds carry those instances.
+                wide_dev = None if lay is None else jax.device_put(lay)
                 if device_cache is not None:
                     device_cache.update(wide_key=cache_key, wide=wide_dev)
         res, tier_rounds = _device_rowpack_solve(

@@ -88,7 +88,7 @@ def _declare(lib: ctypes.CDLL) -> None:
         ctypes.c_int32, ctypes.c_int32, i32p]
     lib.sslap_wide_count.restype = None
     lib.sslap_wide_count.argtypes = [
-        ctypes.c_int64, i32p, ctypes.c_int32, i64p]
+        ctypes.c_int64, i32p, b8p, ctypes.c_int32, ctypes.c_int64, i64p]
     lib.sslap_wide_fill_f32.restype = None
     lib.sslap_wide_fill_f32.argtypes = [
         ctypes.c_int64, i32p, f32p, b8p, ctypes.c_float, ctypes.c_float,
@@ -351,8 +351,16 @@ def wide_fill(cols: np.ndarray, vals: np.ndarray, valid: np.ndarray,
     valid = np.ascontiguousarray(valid, bool)
     counts = np.zeros(NB, np.int64)
     lib.sslap_wide_count(nK, _ptr(cols, ctypes.c_int32),
-                         ctypes.c_int32(m), _ptr(counts, ctypes.c_int64))
+                         _ptr(valid, ctypes.c_bool), ctypes.c_int32(m),
+                         ctypes.c_int64(NB), _ptr(counts, ctypes.c_int64))
     E = max(int(counts.max()), 1) if nK else 1
+    # Skew guard: a column-window holding a large share of the entries
+    # (adversarial or degenerate instances) blows the [NB, E] padding up
+    # to NB*E >> nK; the layout (and the wide rounds) stop paying for
+    # themselves long before the memory does.  Callers fall back to the
+    # scalar-gather rounds on None.
+    if NB * E > 3 * nK + NB * 128:
+        return "skewed"
     cursor = np.zeros(NB, np.int64)
     coff = np.zeros((NB, E), np.int32)
     vals_cg = np.zeros((NB, E), dtype)

@@ -299,13 +299,27 @@ void sslap_rowpack_fill_i32(int64_t n, int64_t K, const int32_t* cols,
 // makes the grouping stable by construction (bit-parity with the numpy
 // stable-argsort path is asserted in tests/test_ops.py).
 
-void sslap_wide_count(int64_t nK, const int32_t* cols, int32_t m,
-                      int64_t* counts /* [ceil(m/128)] zeroed */) {
-  for (int64_t q = 0; q < nK; ++q) {
-    int32_t c = cols[q];
-    if (c < 0) c = 0; else if (c >= m) c = m - 1;
-    counts[c >> 7]++;
+// Effective column of entry q: valid entries clip into [0, m); INVALID
+// slots get a synthetic column spread uniformly across windows (window
+// q % NB, lane 0) -- ingest gives padding slots col 0, and routing ~2M
+// pads into window 0 once exploded E to 2e6 (round-4 tracking OOM).
+// Invalid w values never influence outputs (below neg/2 on every path).
+static inline int32_t wide_eff_col(int64_t q, int32_t c, bool ok,
+                                   int32_t m, int64_t NB) {
+  if (!ok) {
+    int64_t cc = (q % NB) << 7;
+    return cc >= m ? m - 1 : static_cast<int32_t>(cc);
   }
+  if (c < 0) return 0;
+  if (c >= m) return m - 1;
+  return c;
+}
+
+void sslap_wide_count(int64_t nK, const int32_t* cols, const bool* valid,
+                      int32_t m, int64_t NB,
+                      int64_t* counts /* [NB] zeroed */) {
+  for (int64_t q = 0; q < nK; ++q)
+    counts[wide_eff_col(q, cols[q], valid[q], m, NB) >> 7]++;
 }
 
 }  // extern "C" (template below; C entry points follow)
@@ -316,8 +330,7 @@ static void wide_fill(int64_t nK, const int32_t* cols, const T* vals,
                       int64_t NB, int64_t E, int64_t* cursor /* zeroed */,
                       int32_t* coff, T* vals_cg, int32_t* dest) {
   for (int64_t q = 0; q < nK; ++q) {
-    int32_t c = cols[q];
-    if (c < 0) c = 0; else if (c >= m) c = m - 1;
+    int32_t c = wide_eff_col(q, cols[q], valid[q], m, NB);
     int64_t w = c >> 7;
     int64_t slot = w * E + cursor[w]++;
     coff[slot] = c & 127;

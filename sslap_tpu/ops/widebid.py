@@ -90,6 +90,8 @@ def build_wide_layout(cols: np.ndarray, vals_t: np.ndarray,
         if _wf_native is not None:
             out = _wf_native(np.asarray(cols), np.asarray(vals_t),
                              np.asarray(valid), m, sign_scale, neg)
+            if isinstance(out, str):        # "skewed": layout refused
+                return None
             if out is not None:
                 coff, vals_cg, dest = out
                 return WideLayout(
@@ -104,9 +106,17 @@ def build_wide_layout(cols: np.ndarray, vals_t: np.ndarray,
                           neg).astype(np.asarray(vals_t).dtype)
     nK = n * K
     cols_flat = np.ascontiguousarray(cols, np.int64).reshape(-1)
-    # Clip so invalid/sentinel columns land in a real window.
+    # Valid entries clip into [0, m); INVALID slots get a synthetic
+    # column spread uniformly across windows (window q % NB, lane 0):
+    # ingest gives padding slots col 0, and routing millions of pads
+    # into window 0 explodes E (observed: E = 2e6 on a drifted 1M
+    # instance -> 64 GB of padding, host OOM).  Invalid w values never
+    # influence outputs (below neg/2 on every path).
     cols_flat = np.clip(cols_flat, 0, m - 1)
     NB = -(-m // WINDOW)
+    q = np.arange(nK, dtype=np.int64)
+    inval = ~np.ascontiguousarray(valid, bool).reshape(-1)
+    cols_flat[inval] = np.minimum((q[inval] % NB) * WINDOW, m - 1)
     win = (cols_flat // WINDOW).astype(np.int32)
     # Stable grouping by window; within a window, row-major order is
     # preserved (helps the sort-join's presortedness not at all, but
@@ -114,6 +124,10 @@ def build_wide_layout(cols: np.ndarray, vals_t: np.ndarray,
     order = np.argsort(win, kind="stable")
     counts = np.bincount(win, minlength=NB)
     E = int(counts.max()) if nK else 1
+    if NB * E > 3 * nK + NB * 128:
+        # Same skew guard as the native pass: a degenerate window makes
+        # the padded layout (and the wide rounds) a net loss.
+        return None
     # Lay groups out as [NB, E] with per-window pads at the group tail.
     slot = np.zeros(nK, np.int64)
     starts = np.zeros(NB + 1, np.int64)
