@@ -347,13 +347,16 @@ class AuctionSolver:
                   "sharded_hybrid": _par.auction_solve_sharded_hybrid}[mode]
             # Hand over the already-built ELLProblem (dtype applied at
             # construction): no COO round-trip, no second O(nnz) ingest.
+            extra = ({"wide_rounds": self.wide_rounds}
+                     if mode == "sharded_hybrid" else {})
             res = fn(self.problem_spec,
                      problem=self.problem,
                      eps_start=self.eps_start, eps_min=self.eps_min,
                      theta=self.theta, theta_tail=self.theta_tail,
                      tail_phases=self.tail_phases,
                      max_iter=self.max_iter,
-                     cardinality_check=False, warm_prices=warm_prices)
+                     cardinality_check=False, warm_prices=warm_prices,
+                     **extra)
             self.prices = res.get("prices")
             self.meta = res["meta"]
             return res

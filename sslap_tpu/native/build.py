@@ -327,7 +327,7 @@ def rowpack_fill(cols: np.ndarray, vals: np.ndarray, valid: np.ndarray,
 
 
 def wide_fill(cols: np.ndarray, vals: np.ndarray, valid: np.ndarray,
-              m: int, sign_scale, neg):
+              m: int, sign_scale, neg, E_force: int = 0):
     """Fused native wide-layout build (ops/widebid.py): counting-sort
     placement of ELL entries into column-window groups, transform +
     sentinel masking in the same pass.  Returns (coff [NB, E],
@@ -354,6 +354,10 @@ def wide_fill(cols: np.ndarray, vals: np.ndarray, valid: np.ndarray,
                          _ptr(valid, ctypes.c_bool), ctypes.c_int32(m),
                          ctypes.c_int64(NB), _ptr(counts, ctypes.c_int64))
     E = max(int(counts.max()), 1) if nK else 1
+    if E_force:
+        if E > E_force:
+            raise ValueError(f"E_force {E_force} < required {E}")
+        E = E_force
     # Skew guard: a column-window holding a large share of the entries
     # (adversarial or degenerate instances) blows the [NB, E] padding up
     # to NB*E >> nK; the layout (and the wide rounds) stop paying for

@@ -70,7 +70,8 @@ class WideLayout:
 
 def build_wide_layout(cols: np.ndarray, vals_t: np.ndarray,
                       valid: np.ndarray, m: int,
-                      sign_scale=None, neg=None) -> WideLayout:
+                      sign_scale=None, neg=None,
+                      E_force: int = 0) -> WideLayout:
     """Host-side one-time layout build.
 
     Default (``sign_scale`` is None): ``vals_t`` already carries the solve
@@ -89,7 +90,8 @@ def build_wide_layout(cols: np.ndarray, vals_t: np.ndarray,
             _wf_native = None
         if _wf_native is not None:
             out = _wf_native(np.asarray(cols), np.asarray(vals_t),
-                             np.asarray(valid), m, sign_scale, neg)
+                             np.asarray(valid), m, sign_scale, neg,
+                             E_force=E_force)
             if isinstance(out, str):        # "skewed": layout refused
                 return None
             if out is not None:
@@ -124,6 +126,10 @@ def build_wide_layout(cols: np.ndarray, vals_t: np.ndarray,
     order = np.argsort(win, kind="stable")
     counts = np.bincount(win, minlength=NB)
     E = int(counts.max()) if nK else 1
+    if E_force:
+        if E > E_force:
+            raise ValueError(f"E_force {E_force} < required {E}")
+        E = E_force
     if NB * E > 3 * nK + NB * 128:
         # Same skew guard as the native pass: a degenerate window makes
         # the padded layout (and the wide rounds) a net loss.
@@ -172,3 +178,42 @@ def wide_w(layout: WideLayout, prices: jax.Array) -> jax.Array:
     w_cg = (layout.vals_cg - pg).reshape(-1)
     _, w_sorted = lax.sort((layout.dest, w_cg), num_keys=1)
     return w_sorted[: n * K].reshape(n, K)
+
+
+def build_sharded_wide_layouts(cols: np.ndarray, vals_t: np.ndarray,
+                               valid: np.ndarray, m: int, D: int,
+                               sign_scale, neg):
+    """Per-shard wide layouts with a COMMON group width E, stacked so a
+    shard_map'd solve can shard them over the leading axis: returns a
+    WideLayout whose coff/vals_cg are [D*NB, E] and dest is [D*NB*E]
+    (dest keys are LOCAL row-major positions within each shard), with
+    n = n_local and m_pad = NB*128 -- i.e. the aux metadata describes
+    ONE shard, matching what each program instance sees after
+    shard_map slices the leading axis.  None if any shard's layout is
+    refused by the skew guard (callers fall back to scalar rounds)."""
+    n_pad = cols.shape[0]
+    assert n_pad % D == 0
+    n_local = n_pad // D
+    per = []
+    E = 1
+    for s in range(D):
+        sl = slice(s * n_local, (s + 1) * n_local)
+        lay = build_wide_layout(cols[sl], vals_t[sl], valid[sl], m,
+                                sign_scale=sign_scale, neg=neg)
+        if lay is None:
+            return None
+        per.append(lay)
+        E = max(E, lay.coff.shape[1])
+    if any(p.coff.shape[1] != E for p in per):
+        # rebuild the narrow shards at the common width
+        for s in range(D):
+            if per[s].coff.shape[1] != E:
+                sl = slice(s * n_local, (s + 1) * n_local)
+                per[s] = build_wide_layout(cols[sl], vals_t[sl], valid[sl],
+                                           m, sign_scale=sign_scale,
+                                           neg=neg, E_force=E)
+    coff = np.concatenate([np.asarray(p.coff) for p in per], axis=0)
+    vals_cg = np.concatenate([np.asarray(p.vals_cg) for p in per], axis=0)
+    dest = np.concatenate([np.asarray(p.dest) for p in per], axis=0)
+    return WideLayout(coff=coff, vals_cg=vals_cg, dest=dest,
+                      n=n_local, K=per[0].K, m_pad=per[0].m_pad)

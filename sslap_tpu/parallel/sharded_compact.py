@@ -123,6 +123,7 @@ def _solve_sharded_tiered_jit(
     nvalid,                # [n_pad] int32
     p0,                    # [m]
     eps0, eps_min, theta, max_iter, bigp, trunc, theta_tail,
+    wide=None,             # WideLayout with [D*NB, E] arrays (or None)
     *,
     tail_phases: int = 2,
     mesh: Mesh,
@@ -173,7 +174,7 @@ def _solve_sharded_tiered_jit(
         return balanced_cap(C, n_local, D, balance_floor)
 
     def run(data_l, nvalid_l, p0_r, eps0_, eps_min_, theta_, max_iter_,
-            bigp_, trunc_, theta_tail_):
+            bigp_, trunc_, theta_tail_, wide_l=None):
         shard = lax.axis_index(axis_name)
         row_offset = shard.astype(jnp.int32) * jnp.int32(n_local)
         gids = row_offset + jnp.arange(n_local, dtype=jnp.int32)
@@ -203,8 +204,16 @@ def _solve_sharded_tiered_jit(
         def full_round(prices, owner, sigma, eps, phase_start: bool):
             """Full-width round over all local rows: local [m] resolve +
             pmax/pmin combine (2x[m] collectives; 3x with the violator
-            scan's owner re-convergence at phase starts)."""
-            w = valsL - prices[colsL]
+            scan's owner re-convergence at phase starts).  With a wide
+            layout, w comes from the window-gather formulation
+            (ops/widebid.py: 1.69x the scalar gather on-chip,
+            bit-identical) -- the wide regime carries ~45% of all bids,
+            so this is the multi-chip path's share of the round-4 win."""
+            if wide_l is not None:
+                from sslap_tpu.ops.widebid import wide_w
+                w = wide_w(wide_l, prices)
+            else:
+                w = valsL - prices[colsL]
             onehot, v1, v2 = top2_bid(w, nvL)
             a_star = jnp.sum(jnp.where(onehot, valsL,
                                        jnp.zeros_like(valsL)), axis=1)
@@ -557,11 +566,18 @@ def _solve_sharded_tiered_jit(
 
     spec_rows = P(axis_name)
     spec_rep = P()
+    wide_spec = None
+    if wide is not None:
+        from sslap_tpu.ops import widebid as _wb
+        wide_spec = _wb.WideLayout(coff=spec_rows, vals_cg=spec_rows,
+                                   dest=spec_rows, n=wide.n, K=wide.K,
+                                   m_pad=wide.m_pad)
     fn = shard_map(
         run,
         mesh=mesh,
         in_specs=(spec_rows, spec_rows, spec_rep, spec_rep, spec_rep,
-                  spec_rep, spec_rep, spec_rep, spec_rep, spec_rep),
+                  spec_rep, spec_rep, spec_rep, spec_rep, spec_rep,
+                  wide_spec),
         out_specs=(_auction.SolveResult(
             sigma=spec_rows, prices=spec_rep, rounds=spec_rep,
             phases=spec_rep, final_eps=spec_rep, unassigned=spec_rep),
@@ -570,7 +586,7 @@ def _solve_sharded_tiered_jit(
         # consumes only collective-combined or all-gathered data
     )
     return fn(data, nvalid, p0, eps0, eps_min, theta, max_iter, bigp, trunc,
-              theta_tail)
+              theta_tail, wide)
 
 
 def comm_bytes_model(tier_rounds, tiers: Tuple[int, ...], m: int,
@@ -636,6 +652,7 @@ def auction_solve_sharded_hybrid(
     overlap: bool = False,
     ladder_balance: bool = False,
     balance_floor: int = 256,
+    wide_rounds: Optional[bool] = None,
 ):
     """Sharded hybrid solve: row-sharded tiered-compaction device pass with
     truncated phases + ONE host Gauss-Seidel tail at eps_min.
@@ -736,6 +753,22 @@ def auction_solve_sharded_hybrid(
 
     if tiers is None:
         tiers = sharded_ladder_tiers(n_pad, m, D)
+    # Window-gather full-width rounds (ops/widebid.py), per shard: each
+    # shard's local rows get their own column-window layout with a
+    # common group width E; prices are replicated so the gather itself
+    # needs no collective.  Same auto-gate and bit-parity contract as
+    # the single-chip hybrid (PERF.md round 4: 1.69x the scalar-gather
+    # wide round; the wide regime carries ~45% of all bids).
+    if wide_rounds is None:
+        wide_rounds = n >= 400_000
+    wide_np = None
+    if wide_rounds:
+        from sslap_tpu.ops.widebid import build_sharded_wide_layouts
+        neg_np = np.asarray(neg_sentinel(vdtype))
+        wide_np = build_sharded_wide_layouts(
+            np.asarray(prob_p.cols), np.asarray(prob_p.vals),
+            np.asarray(prob_p.valid), m, D,
+            sign_scale=tr.sign * tr.scale, neg=neg_np)
     trunc_v = min(int(trunc), max(n // 8, 1))
     p0 = (np.zeros((m,), vdtype) if warm_prices is None
           else _auction.validate_warm_prices(warm_prices, m).astype(vdtype))
@@ -756,11 +789,19 @@ def auction_solve_sharded_hybrid(
         mesh, (P(axis_name), P(axis_name)) + (P(),) * 8,
         (data_arr, nvalid_pad, p0, e0, e_min, theta_v, max_iter, bigp,
          trunc_v, theta_tail_v))
+    wide_g = None
+    if wide_np is not None:
+        coff_g, vcg_g, dest_g = put_global_args(
+            mesh, (P(axis_name),) * 3,
+            (wide_np.coff, wide_np.vals_cg, wide_np.dest))
+        from sslap_tpu.ops.widebid import WideLayout as _WL
+        wide_g = _WL(coff=coff_g, vals_cg=vcg_g, dest=dest_g,
+                     n=wide_np.n, K=wide_np.K, m_pad=wide_np.m_pad)
 
     t_dev0 = time.perf_counter()
     res, tier_rounds = _solve_sharded_tiered_jit(
         data_arr, nvalid_pad, p0, e0, e_min, theta_v, max_iter, bigp,
-        trunc_v, theta_tail_v, tail_phases=int(tail_phases),
+        trunc_v, theta_tail_v, wide_g, tail_phases=int(tail_phases),
         mesh=mesh, axis_name=axis_name, R=R, W=W, n_glob=n_pad,
         tiers=tiers, pairs_max=pairs_max, overlap=overlap,
         balance=ladder_balance, balance_floor=balance_floor)

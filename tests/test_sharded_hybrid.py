@@ -304,3 +304,24 @@ def test_mixed_tail_default_matches_single_chip_hybrid():
         AuctionSolver(np.ones((4, 4)), theta_tail=0.5)
     with pytest.raises(ValueError):
         AuctionSolver(np.ones((4, 4)), tail_phases=0)
+
+
+def test_wide_rounds_sharded_bit_identical():
+    # Window-gather full-width rounds on the sharded hybrid (round 4):
+    # per-shard column-window layouts with a common group width; must
+    # reproduce the scalar-gather solve bit-for-bit (same bid sets, same
+    # tie-break ids), trunc=0 and truncated, int and float.
+    rng = np.random.default_rng(29)
+    for n, dens, integer, trunc in [(384, 0.05, True, 0),
+                                    (768, 0.02, False, 32)]:
+        loc, val, _ = random_sparse_instance(rng, n, n, dens,
+                                             integer=integer)
+        a = auction_solve_sharded_hybrid(
+            loc=loc, val=val, shape=(n, n), mesh=_mesh(), trunc=trunc,
+            wide_rounds=False, cardinality_check=False)
+        b = auction_solve_sharded_hybrid(
+            loc=loc, val=val, shape=(n, n), mesh=_mesh(), trunc=trunc,
+            wide_rounds=True, cardinality_check=False)
+        np.testing.assert_array_equal(a["sol"], b["sol"])
+        assert a["meta"]["obj"] == b["meta"]["obj"]
+        assert a["meta"]["host_bids"] == b["meta"]["host_bids"]
