@@ -162,6 +162,11 @@ def one_case(seed):
     if rng.random() < 0.25:
         kwargs["theta"] = float(rng.choice([2.0, 5.0, 10.0]))
         scen += f" theta={kwargs['theta']}"
+    if mode in ("hybrid", "sharded_hybrid") and rng.random() < 0.35:
+        # round-4 window-gather rounds: forced ON at fuzz sizes (the
+        # auto-gate would keep it off below 400k)
+        kwargs["wide_rounds"] = True
+        scen += " wide"
     valve = (not infeasible and mode == "device" and rng.random() < 0.05)
     if valve:
         kwargs["max_iter"] = 2
@@ -388,10 +393,11 @@ def sharded_flags_case(seed):
     ndev = int(rng.choice([1, 2, 4, 8]))
     overlap = rng.random() < 0.4
     balance = rng.random() < 0.4
+    wide = rng.random() < 0.4          # round-4 window-gather rounds
     trunc = int(rng.choice([0, 4, 64, 256]))
     scen = (f"shflags seed={seed} n={n} dens={density:.2f} int={integer} "
             f"prob={problem} d={ndev} ov={overlap} bal={balance} "
-            f"trunc={trunc}")
+            f"wide={wide} trunc={trunc}")
 
     loc, val, dense = random_sparse_instance(
         rng, n, n, density, low=1, high=1000, integer=integer)
@@ -399,6 +405,7 @@ def sharded_flags_case(seed):
     res = auction_solve_sharded_hybrid(
         dense, mesh=mesh, problem=problem, cardinality_check=False,
         trunc=trunc, overlap=overlap, ladder_balance=balance,
+        wide_rounds=wide,
         balance_floor=int(rng.choice([8, 64, 256])))
     sol = np.asarray(res["sol"])
     meta = res["meta"]
