@@ -629,7 +629,21 @@ def main():
         PROBES[name]()
         print(f"{name}: PASS")
         return
-    for name in PROBES:
+    # Explicit order: the structural ladder (the bisect's decision
+    # information) runs BEFORE the known worker-wedgers -- round 4:
+    # lane_read_write FAILED and lane_read_write_2d HUNG the worker,
+    # killing the suite before gs_ladder* ever ran.
+    order = [n for n in ("gs_ladder1", "gs_ladder2", "gs_ladder3",
+                         "while_qtable_dma", "while_qtable_dma_store",
+                         "sem_2d_dynamic", "while_double_buffer",
+                         "gs_small_noprefetch", "gs_small_constscan",
+                         "gs_small_noprices", "gs_small",
+                         "dma_hbm_dynrows", "dma_vmem_dynoff2",
+                         "dma_vmem_dynoff8",
+                         "lane_read_write", "lane_read_write_2d")
+             if n in PROBES]
+    order += [n for n in PROBES if n not in order]
+    for name in order:
         try:
             r = subprocess.run(
                 [sys.executable, __file__, name],
