@@ -205,7 +205,13 @@ def main():
         caps = [n] + list(default_tiers(n))
         tr = meta["tier_rounds"]
         # USEFUL bytes (conservative numerator): packed row W ints + K
-        # price gathers per active-row fetch.
+        # price gathers per active-row fetch.  Full-width rounds
+        # (tr[0]) run the WINDOW-GATHER formulation at n >= 400k
+        # (wide_rounds auto): they stream coff+vals_cg (2 ints/slot,
+        # ~1.12x pad) plus ~4 sort passes over (dest, w) pairs -- call
+        # it 10 ints/slot either way; same order as the rowpack model,
+        # so the single (W + K) model is kept for both (the SoL
+        # fraction is a diagnostic, not a contract number).
         dev_bytes = sum(r * c * (W + K) * 4 for r, c in zip(tr, caps))
         # TOUCHED bytes: fetch_rows gathers the whole 128-lane line
         # (R*W ints) per row and selects the R-slot on the VPU, so the
