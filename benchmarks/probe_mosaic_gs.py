@@ -466,6 +466,534 @@ def sem_2d_dynamic():
 
 
 
+@probe
+def qdma_dual():
+    """= while_qtable_dma + a SECOND (f32) DMA per iteration with its own
+    sem plane -- isolates the dual-operand copy from gs_ladder1."""
+    jax, jnp, lax, pl, pltpu = _mk()
+    N = 12
+
+    def k(s_ref, hbm, vbm, q_in, q_io, out, scr, vscr, sem):
+        del q_in
+        n = s_ref[0]
+        lane2d = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def qread(i):
+            r = i // 128
+            row = q_io[r].reshape(1, 128)
+            return jnp.sum(jnp.where(lane2d == i - r * 128, row, 0))
+
+        def body(c):
+            i, acc = c
+            rid = qread(i)
+            c1 = pltpu.make_async_copy(hbm.at[pl.ds(rid * 2, 2)],
+                                       scr.at[pl.ds(0, 2)], sem.at[0])
+            c2 = pltpu.make_async_copy(vbm.at[pl.ds(rid * 2, 2)],
+                                       vscr.at[pl.ds(0, 2)], sem.at[1])
+            c1.start()
+            c2.start()
+            c1.wait()
+            c2.wait()
+            acc = acc + jnp.sum(scr[0].reshape(1, 128)) \
+                + jnp.sum(vscr[0].reshape(1, 128)).astype(jnp.int32)
+            return i + 1, acc
+
+        _, acc = lax.while_loop(lambda c: c[0] < n, body,
+                                (jnp.int32(0), jnp.int32(0)))
+        out[0] = acc
+
+    hbm = jnp.ones((64, 128), jnp.int32)
+    vbm = jnp.ones((64, 128), jnp.float32)
+    q = jnp.concatenate([jnp.arange(N, dtype=jnp.int32)[::-1],
+                         jnp.zeros(128 - N, jnp.int32)]).reshape(1, 128)
+    q_o, out = pl.pallas_call(
+        k,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        input_output_aliases={3: 0},
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32),
+                        pltpu.VMEM((8, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.array([N], jnp.int32), hbm, vbm, q)
+    assert int(out[0]) == N * 256, f"acc {out[0]}"
+
+
+@probe
+def qdma_alias3():
+    """= while_qtable_dma + THREE io-aliased VMEM tables (queue, prices,
+    owner) read via lane_read each iteration -- isolates gs_ladder1's
+    alias count (no stores, single DMA)."""
+    jax, jnp, lax, pl, pltpu = _mk()
+    N = 12
+
+    def k(s_ref, hbm, q_in, p_in, o_in, q_io, p_io, o_io, out, scr, sem):
+        del q_in, p_in, o_in
+        n = s_ref[0]
+        lane2d = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def lane_read(tbl, i, zero):
+            r = i // 128
+            row = tbl[r].reshape(1, 128)
+            return jnp.sum(jnp.where(lane2d == i - r * 128, row, zero))
+
+        def body(c):
+            i, acc = c
+            rid = lane_read(q_io, i, 0)
+            cp = pltpu.make_async_copy(hbm.at[pl.ds(rid * 2, 2)],
+                                       scr.at[pl.ds(0, 2)], sem)
+            cp.start()
+            cp.wait()
+            pk = lane_read(p_io, rid, jnp.float32(0))
+            ow = lane_read(o_io, rid, 0)
+            acc = acc + jnp.sum(scr[0].reshape(1, 128)) + ow \
+                + pk.astype(jnp.int32)
+            return i + 1, acc
+
+        _, acc = lax.while_loop(lambda c: c[0] < n, body,
+                                (jnp.int32(0), jnp.int32(0)))
+        out[0] = acc
+
+    hbm = jnp.ones((64, 128), jnp.int32)
+    q = jnp.concatenate([jnp.arange(N, dtype=jnp.int32)[::-1],
+                         jnp.zeros(128 - N, jnp.int32)]).reshape(1, 128)
+    pt = jnp.ones((1, 128), jnp.float32)
+    ot = jnp.full((1, 128), 2, jnp.int32)
+    q_o, p_o, o_o, out = pl.pallas_call(
+        k,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        input_output_aliases={2: 0, 3: 1, 4: 2},
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.array([N], jnp.int32), hbm, q, pt, ot)
+    assert int(out[0]) == N * (128 + 2 + 1), f"acc {out[0]}"
+
+
+@probe
+def qdma_alias2():
+    """= qdma_alias3 minus the owner table (TWO io-aliased VMEM tables):
+    pins whether the alias-3 miscompile is a table-count rule."""
+    jax, jnp, lax, pl, pltpu = _mk()
+    N = 12
+
+    def k(s_ref, hbm, q_in, p_in, q_io, p_io, out, scr, sem):
+        del q_in, p_in
+        n = s_ref[0]
+        lane2d = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def lane_read(tbl, i, zero):
+            r = i // 128
+            row = tbl[r].reshape(1, 128)
+            return jnp.sum(jnp.where(lane2d == i - r * 128, row, zero))
+
+        def body(c):
+            i, acc = c
+            rid = lane_read(q_io, i, 0)
+            cp = pltpu.make_async_copy(hbm.at[pl.ds(rid * 2, 2)],
+                                       scr.at[pl.ds(0, 2)], sem)
+            cp.start()
+            cp.wait()
+            pk = lane_read(p_io, rid, jnp.float32(0))
+            acc = acc + jnp.sum(scr[0].reshape(1, 128)) \
+                + pk.astype(jnp.int32)
+            return i + 1, acc
+
+        _, acc = lax.while_loop(lambda c: c[0] < n, body,
+                                (jnp.int32(0), jnp.int32(0)))
+        out[0] = acc
+
+    hbm = jnp.ones((64, 128), jnp.int32)
+    q = jnp.concatenate([jnp.arange(N, dtype=jnp.int32)[::-1],
+                         jnp.zeros(128 - N, jnp.int32)]).reshape(1, 128)
+    pt = jnp.ones((1, 128), jnp.float32)
+    q_o, p_o, out = pl.pallas_call(
+        k,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        input_output_aliases={2: 0, 3: 1},
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.array([N], jnp.int32), hbm, q, pt)
+    assert int(out[0]) == N * (128 + 1), f"acc {out[0]}"
+
+
+@probe
+def qdma_store_datadep():
+    """= while_qtable_dma_store but the store INDEX comes from the DMA'd
+    DATA (jstar), not the loop counter -- isolates gs_uni2's crash."""
+    jax, jnp, lax, pl, pltpu = _mk()
+    N = 12
+
+    def k(s_ref, hbm, q_in, q_io, out, scr, sem):
+        del q_in
+        n = s_ref[0]
+        lane2d = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def lane_read(tbl, i):
+            r = i // 128
+            row = tbl[r].reshape(1, 128)
+            return jnp.sum(jnp.where(lane2d == i - r * 128, row, 0))
+
+        def blend_store(tbl, i, v):
+            r = i // 128
+            row = tbl[r].reshape(1, 128)
+            tbl[r] = jnp.where(lane2d == i - r * 128, v, row).reshape(128)
+
+        def body(c):
+            i, acc = c
+            rid = lane_read(q_io, i)
+            cp = pltpu.make_async_copy(hbm.at[pl.ds(rid * 2, 2)],
+                                       scr.at[pl.ds(0, 2)], sem)
+            cp.start()
+            cp.wait()
+            # data-dependent store index: first element of the DMA'd line
+            j = jnp.sum(jnp.where(lane2d == 0, scr[0].reshape(1, 128), 0))
+            blend_store(q_io, 64 + (j % 32), acc + 7)
+            acc = acc + jnp.sum(scr[1].reshape(1, 128))
+            return i + 1, acc
+
+        _, acc = lax.while_loop(lambda c: c[0] < n, body,
+                                (jnp.int32(0), jnp.int32(0)))
+        out[0] = acc
+
+    # hbm row content = row index so j is data-dependent but known
+    hbm = jnp.broadcast_to(jnp.arange(64, dtype=jnp.int32)[:, None],
+                           (64, 128)).copy()
+    q = jnp.concatenate([jnp.arange(N, dtype=jnp.int32)[::-1],
+                         jnp.zeros(128 - N, jnp.int32)]).reshape(1, 128)
+    q_o, out = pl.pallas_call(
+        k,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        input_output_aliases={2: 0},
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.array([N], jnp.int32), hbm, q)
+    # acc = sum over iters of rid*128 (row rid+? scr[1] = second DMA'd row
+    # = value rid*... rows rid*2, rid*2+1 -> scr[1] holds value rid*2+1
+    exp = sum((2 * r + 1) * 128 for r in range(N))
+    assert int(out[0]) == exp, f"acc {out[0]} != {exp}"
+
+
+@probe
+def qdma_store_bitcast():
+    """= while_qtable_dma_store + the store VALUE passes through an
+    f32->i32 bitcast of a full row (gs_uni2's price-bits store)."""
+    jax, jnp, lax, pl, pltpu = _mk()
+    N = 12
+
+    def k(s_ref, hbm, q_in, q_io, out, scr, sem):
+        del q_in
+        n = s_ref[0]
+        lane2d = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def lane_read(tbl, i):
+            r = i // 128
+            row = tbl[r].reshape(1, 128)
+            return jnp.sum(jnp.where(lane2d == i - r * 128, row, 0))
+
+        def body(c):
+            i, acc = c
+            rid = lane_read(q_io, i)
+            cp = pltpu.make_async_copy(hbm.at[pl.ds(rid * 2, 2)],
+                                       scr.at[pl.ds(0, 2)], sem)
+            cp.start()
+            cp.wait()
+            vbits = lax.bitcast_convert_type(
+                jnp.full((1, 128), jnp.float32(1.5) * (i + 1), jnp.float32),
+                jnp.int32)
+            row = q_io[0].reshape(1, 128)
+            q_io[0] = jnp.where(lane2d == 100 + (i % 8), vbits,
+                                row).reshape(128)
+            acc = acc + jnp.sum(scr[0].reshape(1, 128))
+            return i + 1, acc
+
+        _, acc = lax.while_loop(lambda c: c[0] < n, body,
+                                (jnp.int32(0), jnp.int32(0)))
+        out[0] = acc
+
+    hbm = jnp.ones((64, 128), jnp.int32)
+    q = jnp.concatenate([jnp.arange(N, dtype=jnp.int32)[::-1],
+                         jnp.zeros(128 - N, jnp.int32)]).reshape(1, 128)
+    q_o, out = pl.pallas_call(
+        k,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        input_output_aliases={2: 0},
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.array([N], jnp.int32), hbm, q)
+    assert int(out[0]) == N * 128, f"acc {out[0]}"
+
+
+@probe
+def qdma_store_via_dma():
+    """Workaround candidate for the data-dependent-store crash: write the
+    modified row into a STATIC scratch row, then VMEM->VMEM async-copy it
+    to the data-dependent target row (DMA row addressing tolerates
+    data-dependent ids where vector stores do not -- while_qtable_dma)."""
+    jax, jnp, lax, pl, pltpu = _mk()
+    N = 12
+
+    def k(s_ref, hbm, q_in, q_io, out, scr, wrow, sem, wsem):
+        del q_in
+        n = s_ref[0]
+        lane2d = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def lane_read(tbl, i):
+            r = i // 128
+            row = tbl[r].reshape(1, 128)
+            return jnp.sum(jnp.where(lane2d == i - r * 128, row, 0))
+
+        def body(c):
+            i, acc = c
+            rid = lane_read(q_io, i)
+            cp = pltpu.make_async_copy(hbm.at[pl.ds(rid * 2, 2)],
+                                       scr.at[pl.ds(0, 2)], sem)
+            cp.start()
+            cp.wait()
+            # data-dependent target index from DMA'd data
+            j = jnp.sum(jnp.where(lane2d == 0, scr[0].reshape(1, 128), 0))
+            tgt = 64 + (j % 32)
+            r = tgt // 128
+            # read-modify in scratch (static row), then DMA the row back
+            row = q_io[r].reshape(1, 128)
+            wrow[0] = jnp.where(lane2d == tgt - r * 128, acc + 7,
+                                row).reshape(128)
+            wcp = pltpu.make_async_copy(wrow.at[pl.ds(0, 1)],
+                                        q_io.at[pl.ds(r, 1)], wsem)
+            wcp.start()
+            wcp.wait()
+            acc = acc + jnp.sum(scr[1].reshape(1, 128))
+            return i + 1, acc
+
+        _, acc = lax.while_loop(lambda c: c[0] < n, body,
+                                (jnp.int32(0), jnp.int32(0)))
+        out[0] = acc
+
+    hbm = jnp.broadcast_to(jnp.arange(64, dtype=jnp.int32)[:, None],
+                           (64, 128)).copy()
+    q = jnp.concatenate([jnp.arange(N, dtype=jnp.int32)[::-1],
+                         jnp.zeros(128 - N, jnp.int32)]).reshape(1, 128)
+    q_o, out = pl.pallas_call(
+        k,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        input_output_aliases={2: 0},
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32),
+                        pltpu.VMEM((1, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.array([N], jnp.int32), hbm, q)
+    exp = sum((2 * r + 1) * 128 for r in range(N))
+    assert int(out[0]) == exp, f"acc {out[0]} != {exp}"
+
+
+def _gs_ladder_uni(stage: int):
+    """gs_ladder with ONE unified io-aliased i32 state table instead of
+    three (round-4 bisect: the second and third io-aliased VMEM tables
+    READ ZEROS on this toolchain -- qdma_alias2/3 miscompile).  Table
+    rows: [0] queue ring, [1] price bits (f32 bitcast), [2] owner."""
+    import numpy as np
+    jax, jnp, lax, pl, pltpu = _mk()
+    n = m = 32
+    K = 4
+    NL = 2
+    L = 128
+
+    def kern(counts, clines, vlines, st_in, st_io, stats, cbuf, vbuf, sem):
+        del st_in
+        qcount = counts[0]
+        max_bids = counts[1]
+        cap = counts[2]
+        lane2d = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        flat2d = (jax.lax.broadcasted_iota(jnp.int32, (NL, L), 0) * L
+                  + jax.lax.broadcasted_iota(jnp.int32, (NL, L), 1))
+
+        def lane_read(block_row, idx, as_f32=False):
+            r = block_row + idx // L
+            row = st_io[r].reshape(1, L)
+            if as_f32:
+                row = lax.bitcast_convert_type(row, jnp.float32)
+                zero = jnp.float32(0)
+            else:
+                zero = 0
+            return jnp.sum(jnp.where(lane2d == idx - (idx // L) * L, row,
+                                     zero))
+
+        def blend_store(block_row, idx, value, from_f32=False):
+            r = block_row + idx // L
+            row = st_io[r].reshape(1, L)
+            if from_f32:
+                vbits = lax.bitcast_convert_type(
+                    jnp.full((1, L), value, jnp.float32), jnp.int32)
+            else:
+                vbits = jnp.full((1, L), value, jnp.int32)
+            st_io[r] = jnp.where(lane2d == idx - (idx // L) * L, vbits,
+                                 row).reshape(L)
+
+        def start(slot, r):
+            l0 = (r * K) // L
+            pltpu.make_async_copy(clines.at[pl.ds(l0, NL)],
+                                  cbuf.at[pl.ds(slot * NL, NL)],
+                                  sem.at[0, slot]).start()
+            pltpu.make_async_copy(vlines.at[pl.ds(l0, NL)],
+                                  vbuf.at[pl.ds(slot * NL, NL)],
+                                  sem.at[1, slot]).start()
+
+        def wait(slot, r):
+            l0 = (r * K) // L
+            pltpu.make_async_copy(clines.at[pl.ds(l0, NL)],
+                                  cbuf.at[pl.ds(slot * NL, NL)],
+                                  sem.at[0, slot]).wait()
+            pltpu.make_async_copy(vlines.at[pl.ds(l0, NL)],
+                                  vbuf.at[pl.ds(slot * NL, NL)],
+                                  sem.at[1, slot]).wait()
+
+        def cond(c):
+            head, tail, bids, acc = c
+            return (head != tail) & (bids < max_bids)
+
+        def body(c):
+            head, tail, bids, acc = c
+            u = lane_read(0, head)
+            head1 = head + 1
+            head1 = jnp.where(head1 == cap, 0, head1)
+            start(0, u)
+            wait(0, u)
+            cmat = jnp.concatenate(
+                [cbuf[j].reshape(1, L) for j in range(NL)], axis=0)
+            vmat = jnp.concatenate(
+                [vbuf[j].reshape(1, L) for j in range(NL)], axis=0)
+            off0 = u * K - ((u * K) // L) * L
+            sel0 = flat2d == off0
+            jstar = jnp.sum(jnp.where(sel0, cmat, 0))
+            v0 = jnp.sum(jnp.where(sel0, vmat, jnp.float32(0)))
+            pk = lane_read(1, jstar, as_f32=True)
+            acc = acc + pk + v0
+
+            if STAGE >= 3:
+                prev = lane_read(2, jstar)
+                tail1 = jnp.where(tail + 1 == cap, 0, tail + 1)
+
+                @pl.when(prev >= 0)
+                def _():
+                    blend_store(0, tail, prev)
+
+                new_tail = jnp.where(prev >= 0, tail1, tail)
+            else:
+                new_tail = tail
+            if STAGE >= 2:
+                blend_store(1, jstar, pk + jnp.float32(0.5), from_f32=True)
+                blend_store(2, jstar, u)
+            return head1, new_tail, bids + 1, acc
+
+        head, tail, bids, acc = lax.while_loop(
+            cond, body, (jnp.int32(0), qcount, jnp.int32(0),
+                         jnp.float32(0)))
+        stats[0] = bids
+        stats[1] = jnp.where(tail >= head, tail - head,
+                             tail - head + cap).astype(jnp.int32)
+
+    STAGE = stage
+    rng = np.random.default_rng(3)
+    cols = np.sort(rng.integers(0, m, (n, K)), axis=1).astype(np.int32)
+    cols[:, 0] = np.arange(n)
+    vals = (rng.random((n, K)) * 10).astype(np.float32)
+    flatc = np.zeros(((n * K) // L + NL) * L, np.int32)
+    flatv = np.zeros_like(flatc, dtype=np.float32)
+    flatc[:n * K] = cols.reshape(-1)
+    flatv[:n * K] = vals.reshape(-1)
+    cap = n + 1
+    q = np.zeros(128, np.int32)
+    q[:n] = np.arange(n)
+    state = np.stack([q,
+                      np.zeros(128, np.float32).view(np.int32),
+                      np.full(128, -1, np.int32)], axis=0)
+    counts = jnp.asarray([n, 10 ** 5, cap], dtype=jnp.int32)
+    st_o, stats = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((3, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((2,), jnp.int32)),
+        input_output_aliases={3: 0},
+        scratch_shapes=[pltpu.VMEM((2 * NL, L), jnp.int32),
+                        pltpu.VMEM((2 * NL, L), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2, 2))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(counts,
+      jnp.asarray(flatc.reshape(-1, L)), jnp.asarray(flatv.reshape(-1, L)),
+      jnp.asarray(state))
+    b = int(stats[0])
+    assert b == n, f"bids={b}"
+
+
+@probe
+def gs_uni1():
+    _gs_ladder_uni(1)
+
+
+@probe
+def gs_uni2():
+    _gs_ladder_uni(2)
+
+
+@probe
+def gs_uni3():
+    _gs_ladder_uni(3)
+
+
 def _gs_ladder(stage: int):
     """Incremental rebuild of the GS kernel structure.
 
@@ -633,7 +1161,9 @@ def main():
     # information) runs BEFORE the known worker-wedgers -- round 4:
     # lane_read_write FAILED and lane_read_write_2d HUNG the worker,
     # killing the suite before gs_ladder* ever ran.
-    order = [n for n in ("gs_ladder1", "gs_ladder2", "gs_ladder3",
+    order = [n for n in ("qdma_store_via_dma", "qdma_store_bitcast",
+                         "qdma_dual", "qdma_alias2", "qdma_alias3",
+                         "gs_ladder1", "gs_ladder2", "gs_ladder3",
                          "while_qtable_dma", "while_qtable_dma_store",
                          "sem_2d_dynamic", "while_double_buffer",
                          "gs_small_noprefetch", "gs_small_constscan",
