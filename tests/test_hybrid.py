@@ -120,3 +120,34 @@ def test_wide_rounds_auctionsolver_surface():
     assert "wide" in s._device_cache
     r2 = s.solve(warm_prices=r.get("prices"))
     assert r2["meta"]["obj"] == r["meta"]["obj"]
+
+
+def test_wide_rounds_skew_guard_falls_back():
+    # A degenerate SQUARE instance (nearly all off-diagonal entries
+    # concentrated in one 128-column window) must refuse the wide layout
+    # (NB*E blowup guard) and solve via the scalar path -- the OOM class
+    # the round-4 tracking run hit when ingest pads all carried col 0.
+    from sslap_tpu import AuctionSolver
+    from tests.utils import scipy_sparse_objective
+
+    rng = np.random.default_rng(9)
+    n = 4096
+    rows = np.repeat(np.arange(n), 3)
+    cols = rng.integers(0, 128, rows.shape[0])     # window 0 only
+    rr = np.concatenate([rows, np.arange(n)])
+    cc = np.concatenate([cols, np.arange(n)])      # diagonal: feasible
+    key = rr.astype(np.int64) * n + cc
+    _, idx = np.unique(key, return_index=True)
+    rr, cc = rr[idx], cc[idx]
+    vv = (rng.random(rr.shape[0]) * 100 + 1).astype(np.float32)
+    loc = np.stack([rr, cc], 1)
+    s = AuctionSolver(loc=loc, val=vv, shape=(n, n), mode="hybrid",
+                      wide_rounds=True, cardinality_check=False)
+    r = s.solve()
+    assert r["meta"]["soln_found"]
+    oracle = scipy_sparse_objective(loc, vv, n, n)
+    assert abs(r["meta"]["obj"] - oracle) <= (n + 1) * r["meta"]["final_eps"]
+    # layout refused by the guard -> cached verdict is None (the square
+    # fast path ran; no per-solve re-try)
+    assert s._device_cache.get("wide_key") is not None
+    assert s._device_cache.get("wide") is None
