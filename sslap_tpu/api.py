@@ -46,7 +46,16 @@ class AuctionSolution(dict):
     ([K-med]; exact reference keys unverifiable -- mount empty).
     'prices' is the final dual vector in the solver's TRANSFORMED space --
     feed it back as ``warm_prices=`` for warm-started re-solves (same
-    convention on every mode)."""
+    convention on every mode).
+
+    Warm-start guidance for drifting (tracking) workloads, measured at
+    1M x 1M (PERF.md round 4): restart at a drift-matched eps
+    (``eps_start ~ 4x`` the per-frame cost drift), and warm-start each
+    frame from the last COLD solve's duals rather than chaining
+    warm-on-warm -- forward-auction prices only ever rise, so a warm
+    chain accumulates ~drift of unremovable relative price error per
+    frame and the tail re-auction eventually costs more than a cold
+    solve."""
 
     @property
     def sol(self) -> np.ndarray:
