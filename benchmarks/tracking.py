@@ -209,6 +209,7 @@ def main():
             carry["sol"] = r["sol"]
             return {"obj": r["meta"]["obj"], "hk_s": round(hk_s, 3),
                     "host_bids": r["meta"]["host_bids"],
+                    "found": r["meta"]["soln_found"],
                     "feasible": feasible}
 
         frame(f"B{f}_warm", warmB)
