@@ -106,3 +106,26 @@ def test_auction_config_applies_and_overrides():
         AuctionConfig(theta=0.5)
     with pytest.raises(ValueError):
         AuctionConfig(mode="gpu")
+
+
+def test_warm_relax_price_rollback():
+    # warm_relax scales warm duals down to restore slack for
+    # pattern-churned re-solves (round 4); must stay exact and reject
+    # out-of-range factors.
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
+    from sslap_tpu import AuctionSolver
+
+    rng = np.random.default_rng(3)
+    C = rng.integers(1, 100, (64, 64))
+    s = AuctionSolver(C, cardinality_check=False)
+    r1 = s.solve()
+    rr, cc = linear_sum_assignment(C)
+    oracle = int(C[rr, cc].sum())
+    assert r1["meta"]["obj"] == oracle
+    r2 = s.solve(warm_prices=r1["prices"], warm_relax=0.9)
+    assert r2["meta"]["obj"] == oracle
+    with pytest.raises(ValueError):
+        s.solve(warm_prices=r1["prices"], warm_relax=0.0)
+    with pytest.raises(ValueError):
+        s.solve(warm_prices=r1["prices"], warm_relax=1.5)
