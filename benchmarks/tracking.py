@@ -202,14 +202,30 @@ def main():
             mt = hopcroft_solve(loc=locB, shape=(n, n), warm=matchB)
             hk_s = time.perf_counter() - t0
             feasible = bool((mt >= 0).all())
+            # Pattern churn is the forward auction's hard case: raw
+            # eps-tight duals give displaced rows' chains no slack
+            # (prices cannot move down).  warm_relax=0.9 rolls prices
+            # back to restore per-column headroom (api.solve docstring;
+            # measured 2.3x fewer bids than cold at 100k/0.1% churn);
+            # the FULL default schedule stays (an eps_start shortcut
+            # blew the truncated hybrid's GS budget at 1M).
             s = AuctionSolver(loc=locB, val=vvB, shape=(n, n), mode=mode,
-                              cardinality_check=False, eps_start=4.0 * args.sigma)
-            r = s.solve(warm_prices=pricesB)
+                              cardinality_check=False)
+            r = s.solve(warm_prices=pricesB, warm_relax=0.9)
+            fell_back = False
+            if not r["meta"]["soln_found"]:
+                # Budget-trip safety: fall back to a cold solve inside
+                # the frame (the honest serving recipe).
+                fell_back = True
+                s = AuctionSolver(loc=locB, val=vvB, shape=(n, n),
+                                  mode=mode, cardinality_check=False)
+                r = s.solve()
             carry["prices"] = r.get("prices")
             carry["sol"] = r["sol"]
             return {"obj": r["meta"]["obj"], "hk_s": round(hk_s, 3),
                     "host_bids": r["meta"]["host_bids"],
                     "found": r["meta"]["soln_found"],
+                    "fell_back": fell_back,
                     "feasible": feasible}
 
         frame(f"B{f}_warm", warmB)
