@@ -155,10 +155,13 @@ def main():
             "cpu_steady_band": [round(min(cpu_times), 2),
                                 round(max(cpu_times), 2)],
             "note": "TPU tunnel dead for this run; CPU reference only. "
-                    "Last on-chip round-3 measurements (PERF.md round-3 "
-                    "single-chip table, 2026-08-17, same code path): "
-                    "device pass 4.86 s, e2e ~7.0 s vs CPU steady median "
-                    "10.03 s at 1M x 1M.",
+                    "Last on-chip round-4 measurements (PERF.md round-4, "
+                    "2026-08-19, same code path with window-gather wide "
+                    "rounds): hybrid steady 6.63-6.86 s (device 5.10 s + "
+                    "GS 1.06-1.18 s) vs CPU steady median 9.9-11.9 s at "
+                    "1M x 1M -> vs_baseline 1.51-2.08 across the host's "
+                    "variance band (chip_logs/r4_wide_ab.log, "
+                    "r4_bench_full.log).",
         }))
         return
 
