@@ -41,8 +41,13 @@ def main():
     prob = ingest.from_coo(loc, vv, shape=(n, n))
 
     cache = {}
-    truncs = (64, 128, 192, 256, 512) \
-        if "--down" in sys.argv else (256, 512, 1024, 2048, 4096)
+    if "--truncs" in sys.argv:
+        truncs = tuple(int(t) for t in
+                       sys.argv[sys.argv.index("--truncs") + 1].split(","))
+    elif "--down" in sys.argv:
+        truncs = (64, 128, 192, 256, 512)
+    else:
+        truncs = (256, 512, 1024, 2048, 4096)
     for trunc in truncs:
         # warm (compile for this trunc is shared: trunc is traced)
         sol, prices, meta = H.solve_hybrid(prob, trunc=trunc,

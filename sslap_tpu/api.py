@@ -134,6 +134,7 @@ class AuctionSolver:
         keep_assignment=_UNSET,
         engine=_UNSET,
         wide_rounds=_UNSET,
+        fine_ladder=_UNSET,
         config=None,
     ):
         # Resolution order: explicit kwarg > AuctionConfig > built-in
@@ -157,6 +158,7 @@ class AuctionSolver:
         dtype = pick(dtype, "dtype")
         engine = pick(engine, "engine")
         wide_rounds = pick(wide_rounds, "wide_rounds")
+        fine_ladder = pick(fine_ladder, "fine_ladder")
 
         self.problem_spec = _ingest_any(mat=mat, loc=loc, val=val, shape=shape,
                                         dtype=dtype, pad_to=pad_to)
@@ -191,6 +193,9 @@ class AuctionSolver:
         # Window-gather phase starts (ops/widebid.py): None = auto
         # (square hybrid, n >= 400k), True/False = force.
         self.wide_rounds = wide_rounds
+        # Fine tier interleave below 32768 (compact.default_tiers):
+        # None = SSLAP_TPU_FINE_LADDER env default (off).
+        self.fine_ladder = fine_ladder
         self.prices: Optional[np.ndarray] = None
         self.meta: Optional[dict] = None
         # Device-resident problem data reused across solve() calls
@@ -408,7 +413,8 @@ class AuctionSolver:
                     warm_prices=warm_prices,
                     keep_assignment=self.keep_assignment, engine=engine,
                     device_cache=self._device_cache,
-                    wide_rounds=self.wide_rounds)
+                    wide_rounds=self.wide_rounds,
+                    fine_ladder=self.fine_ladder)
             except jax.errors.JaxRuntimeError as e:
                 if mode != "hybrid":
                     raise

@@ -67,7 +67,8 @@ class TieredState(NamedTuple):
     tier_rounds: jax.Array
 
 
-def default_tiers(n: int) -> Tuple[int, ...]:
+def default_tiers(n: int, *, fine: bool = False,
+                  floor: int = 0) -> Tuple[int, ...]:
     """Static tier capacities, descending.  The top tier is always n (the
     phase-start / bulk rounds); lower tiers shrink the per-round cost as the
     active set collapses into eviction chains.
@@ -76,19 +77,39 @@ def default_tiers(n: int) -> Tuple[int, ...]:
     count, so with ratio-r tiers the average capacity/active slack is
     (r-1)/ln r -- 2.16x at round 1's r=4, 1.44x at r=2, ~1.2x with
     {2^k, 3*2^(k-1)} interleaving (ratios alternate 4/3 and 3/2).  The
-    interleaved tiers are added ONLY above 32768: upper tiers carry the
-    most gathered elements per x2 step (~2M row-fetches each, PERF
-    round-3 probe) so the slack cut pays there, while a fully-interleaved
-    ladder (25 tiers at 1M) made the XLA program so large the 1M-shape
-    compile did not finish in 40 minutes (measured round 3) -- program
-    size is a real budget on this axis."""
+    interleaved tiers are added ONLY above 32768 by default: upper tiers
+    carry the most gathered elements per x2 step (~2M row-fetches each,
+    PERF round-3 probe) so the slack cut pays there, while a
+    fully-interleaved ladder (25 tiers at 1M) made the XLA program so
+    large the 1M-shape compile did not finish in 40 minutes (measured
+    round 3) -- program size is a real budget on this axis.
+
+    ``fine`` (round 4) interleaves the 3*2^(k-1) tiers all the way down:
+    the sub-32768 tiers hold another ~2M row-fetches EACH at 1M (the
+    eviction-chain rounds, tier_rounds histogram in PERF.md round 4), so
+    the 1.44x -> ~1.2x slack cut applies there too.  The program-size
+    budget is paid for by ``floor``.
+
+    ``floor`` (round 4) drops tiers with capacity <= floor.  The tiered
+    drivers never enter a tier whose capacity is at or below the
+    truncation threshold (a phase truncates once active <= trunc), so a
+    caller with a STATIC trunc can prune those tiers from the program at
+    zero behavior change -- callers with traced/zero trunc must pass
+    floor=0 and keep the full ladder.
+
+    Round-for-round bit-parity across ladder choices: every round bids
+    ALL active rows regardless of tier capacity (capacity only pads), so
+    sigma/price trajectories are identical for any ladder -- only the
+    per-round padding cost and the tier_rounds histogram change.  This
+    is asserted by tests/test_compact.py::test_fine_ladder_parity."""
     tiers = [n]
     c = 1 << max((n - 1).bit_length() - 1, 6)   # largest power of two < n
     while c >= 64:
         half_up = 3 * (c // 2)                  # 1.5 * c, between c and 2c
-        if c >= 32768 and half_up < n and half_up > c:
+        if (c >= 32768 or fine) and half_up < n and half_up > c \
+                and half_up > floor:
             tiers.append(half_up)
-        if c < n:
+        if c < n and c > floor:
             tiers.append(c)
         c //= 2
     return tuple(tiers)

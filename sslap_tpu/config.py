@@ -46,6 +46,11 @@ class AuctionConfig:
                                          # the square hybrid (None = auto:
                                          # on at n >= 400k; see
                                          # ops/widebid.py)
+    fine_ladder: Optional[bool] = None   # fine {2^k, 3*2^(k-1)} tier
+                                         # interleave below 32768 on the
+                                         # square hybrid (None = env
+                                         # SSLAP_TPU_FINE_LADDER, default
+                                         # off; see compact.default_tiers)
     engine: str = "auto"                 # square device engine: 'auto'|
                                          # 'compact'|'candidates'|'dense'
 
@@ -81,5 +86,6 @@ class AuctionConfig:
             "keep_assignment": self.keep_assignment,
             "dtype": self.dtype,
             "wide_rounds": self.wide_rounds,
+            "fine_ladder": self.fine_ladder,
             "engine": self.engine,
         }

@@ -31,6 +31,7 @@ bench.py as the vs-baseline.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Optional, Tuple
 
@@ -95,22 +96,24 @@ def _compact_mod():
     return _compact
 
 
-@functools.partial(jax.jit, static_argnames=("tail_phases",))
+@functools.partial(jax.jit, static_argnames=("tail_phases", "tiers"))
 def _device_rowpack_solve(rowpack, nvalid, p0, eps0, eps_min, theta,
                           max_iter, bigp, trunc, theta_tail,
-                          wide_layout=None, tail_phases=2):
+                          wide_layout=None, tail_phases=2, tiers=None):
     """Truncated tiered solve over a pre-packed (and possibly device-
     cached) RowPack -- the square hybrid's production entry.
 
     ``theta_tail`` is a traced scalar; <= 1 keeps the pure-theta descent
     (see auction._next_eps's mixed tail schedule).  ``wide_layout`` (a
     widebid.WideLayout pytree or None) switches the phase-start rounds
-    to the window-gather formulation.
+    to the window-gather formulation.  ``tiers`` (static tuple or None
+    for default_tiers(n)) selects the ladder -- bit-identical results
+    for any ladder, see compact.default_tiers.
     """
     res, st = _compact_mod().solve_rowpack_tiered(
         rowpack, nvalid, p0, eps0, eps_min, theta, max_iter,
         bigp=bigp, trunc=trunc, theta_tail=theta_tail,
-        tail_phases=tail_phases, wide_layout=wide_layout)
+        tail_phases=tail_phases, wide_layout=wide_layout, tiers=tiers)
     return res, st.tier_rounds
 
 
@@ -241,6 +244,7 @@ def solve_hybrid(
                                      # _device_truncated_solve)
     device_cache: Optional[dict] = None,
     wide_rounds: Optional[bool] = None,
+    fine_ladder: Optional[bool] = None,
 ):
     """eps-scaled solve with device bulk + host tail (or pure host).
 
@@ -324,7 +328,21 @@ def solve_hybrid(
         # instances skip the multi-second H2D transfer entirely.
         t0 = time.perf_counter()
         t_dev0 = t0
-        trunc = jnp.int32(min(int(trunc), max(n // 8, 1)))
+        trunc_static = min(int(trunc), max(n // 8, 1))
+        trunc = jnp.int32(trunc_static)
+        # Ladder choice (round 4): prune tiers at/below the static trunc
+        # (never entered -- a phase truncates once active <= trunc) and
+        # spend the freed program size on fine {2^k, 3*2^(k-1)}
+        # interleaving below 32768 when requested.  Bit-identical results
+        # for any ladder (compact.default_tiers docstring).
+        # fine_ladder=None defers to SSLAP_TPU_FINE_LADDER (default off:
+        # deeper ladders carry the documented 1M-shape compile-time
+        # risk; measured A/B in PERF.md round 4).
+        if fine_ladder is None:
+            fine_ladder = os.environ.get(
+                "SSLAP_TPU_FINE_LADDER", "0") == "1"
+        tiers_static = _compact_mod().default_tiers(
+            n, fine=bool(fine_ladder), floor=trunc_static)
         # The cache dict is owned by ONE AuctionSolver bound to one
         # problem; shape/transform fields in the key catch accidental
         # reuse across differently-shaped problems (same-shape different
@@ -375,7 +393,8 @@ def solve_hybrid(
             rowpack_dev, nvalid_dev, jnp.asarray(prices), e0, e_min,
             theta_v, max_iter, bigp, trunc,
             jnp.asarray(theta_tail, jnp.asarray(e0).dtype),
-            wide_layout=wide_dev, tail_phases=tail_phases)
+            wide_layout=wide_dev, tail_phases=tail_phases,
+            tiers=tiers_static)
         return _finish_square_fast_path(
             res, tier_rounds, prob, indptr, indices, data, prices, sigma,
             owner, e_min, bigp, tr, n, mode, t0, t_dev0)

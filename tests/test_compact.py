@@ -266,3 +266,76 @@ def test_sharded_exchange_scatter_branch_matches_all_pairs():
                                      cardinality_check=False)
     np.testing.assert_array_equal(a["sol"], b["sol"])
     assert a["meta"]["obj"] == b["meta"]["obj"]
+
+
+def test_default_tiers_fine_and_floor():
+    t = C.default_tiers(2 ** 20)
+    tf = C.default_tiers(2 ** 20, fine=True)
+    tp = C.default_tiers(2 ** 20, fine=True, floor=256)
+    # Descending, top tier = n, all unique.
+    for ts in (t, tf, tp):
+        assert ts[0] == 2 ** 20
+        assert list(ts) == sorted(set(ts), reverse=True)
+    # fine adds the 3*2^(k-1) tiers below 32768 that the default skips.
+    assert 12288 not in t and 12288 in tf and 1536 in tf
+    # floor prunes tiers at/below it (they are never entered when the
+    # runtime trunc >= floor).
+    assert min(tp) > 256 and 512 in tp
+    assert all(x in tf for x in tp)
+    # Program-size bookkeeping: pruning pays for most of the interleave.
+    assert len(tp) <= len(t) + 4
+
+
+def test_fine_ladder_parity():
+    # Capacity only pads: every round bids ALL active rows regardless of
+    # tier capacity, so sigma/prices must be BIT-identical for any ladder
+    # (the fine/floor ladder included).  n=2048 exercises several
+    # sub-32768 tiers where fine interleaving engages.
+    rng = np.random.default_rng(7)
+    n = 2048
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.01, integer=True)
+    from sslap_tpu import ingest, auction as A2
+    prob = ingest.from_coo(loc, val, shape=(n, n))
+    vals = np.asarray(prob.vals); valid = np.asarray(prob.valid)
+    vmax = float(np.abs(vals[valid]).max())
+    tr = A2.make_transform("min", n, vals.dtype, vmax)
+    e0, emin, th = A2.default_eps_schedule(vals.dtype, vmax, n, tr.scale)
+    mi = A2.default_max_iter(n)
+    vals_t_np = vals * np.asarray(tr.sign * tr.scale, vals.dtype)
+    rowpack = C.np_build_rowpack(np.asarray(prob.cols), vals_t_np, valid,
+                                 np.asarray(prob.nvalid))
+    bigp = float(vals_t_np[valid].max() - vals_t_np[valid].min()) + 1
+    nv = jnp.asarray(np.asarray(prob.nvalid))
+    p0 = jnp.zeros((n,), jnp.asarray(vals_t_np).dtype)
+
+    def run(tiers, trunc):
+        res, st = jax.jit(lambda rp, nvv, pp: C.solve_rowpack_tiered(
+            rp, nvv, pp, e0, emin, th, mi, bigp=bigp, trunc=trunc,
+            tiers=tiers))(rowpack, nv, p0)
+        return np.asarray(res.sigma), np.asarray(res.prices)
+
+    # Run-to-completion (trunc=0): default vs fine ladder, no pruning.
+    s_a, p_a = run(None, 0)
+    s_b, p_b = run(C.default_tiers(n, fine=True), 0)
+    np.testing.assert_array_equal(s_a, s_b)
+    np.testing.assert_array_equal(p_a, p_b)
+    # Truncated (trunc=64): default vs fine+floor-pruned ladder -- the
+    # production combination (hybrid passes floor=trunc).
+    s_c, p_c = run(None, 64)
+    s_d, p_d = run(C.default_tiers(n, fine=True, floor=64), 64)
+    np.testing.assert_array_equal(s_c, s_d)
+    np.testing.assert_array_equal(p_c, p_d)
+
+
+def test_hybrid_fine_ladder_solve_parity():
+    # End-to-end: solve_hybrid(fine_ladder=True) must match the default
+    # ladder bit-for-bit (sigma, prices, objective).
+    rng = np.random.default_rng(11)
+    n = 1024
+    loc, val, _ = random_sparse_instance(rng, n, n, 0.02, integer=True)
+    from sslap_tpu import ingest, hybrid as H
+    prob = ingest.from_coo(loc, val, shape=(n, n))
+    s_a, p_a, m_a = H.solve_hybrid(prob, fine_ladder=False)
+    s_b, p_b, m_b = H.solve_hybrid(prob, fine_ladder=True)
+    np.testing.assert_array_equal(s_a, s_b)
+    np.testing.assert_array_equal(p_a, p_b)
