@@ -183,6 +183,7 @@ def main():
         f"device_rounds={meta['its']} "
         f"host_bids={meta['host_bids']} obj={meta['obj']:.1f} "
         f"device_t={meta.get('device_time', 0):.2f}s "
+        f"readback_t={meta.get('readback_time', 0):.2f}s "
         f"host_gs_t={meta.get('host_gs_time', 0):.2f}s")
     if "tier_rounds" in meta:
         log(f"tier_rounds (phase-start, then ladder tiers): "
@@ -254,6 +255,7 @@ def main():
         "hyb_steady_s": round(hyb_t, 2),
         "cpu_nnz_per_s": round(nnz / cpu_t, 1),
         "device_s": round(device_s, 2),
+        "readback_s": round(meta.get("readback_time", 0.0), 2),
         "host_gs_s": round(meta.get("host_gs_time", 0.0), 2),
         "device_achieved_gbps": (round(achieved_gbps, 2)
                                  if achieved_gbps else None),

@@ -185,10 +185,31 @@ def _finish_square_fast_path(res, tier_rounds, prob, indptr, indices, data,
     """Shared tail of the square hybrid: read back device state, run the
     native GS finisher at eps_min, build the meta dict (honest optimality
     accounting -- see inline comments)."""
-    prices = np.array(res.prices)
-    sigma = np.array(res.sigma)
-    dev_rounds = int(res.rounds)
+    # Split ON-CHIP completion from the host readback: all outputs of the
+    # jitted solve materialize on device together, so blocking on the
+    # 4-byte rounds scalar marks the end of device COMPUTE; the [n]
+    # prices/sigma fetch then runs under its own clock.  On this tunneled
+    # backend the 8 MB D2H is a real, separately-reported cost
+    # (meta['readback_time']) that a directly-attached chip would not pay
+    # at tunnel rates -- folding it into device_time overstated the
+    # device pass by the tunnel's transfer time (PERF.md round-4b).
+    jax.block_until_ready(res.rounds)
     t_dev = time.perf_counter() - t_dev0
+    # ONE batched fetch for everything the host tail needs: each scalar
+    # read over the relayed backend is a full network round-trip
+    # (PERF.md round-2 primitive table), so fetching prices/sigma and the
+    # four bookkeeping scalars separately pays ~6 round-trips where one
+    # suffices.
+    t_rb0 = time.perf_counter()
+    prices, sigma, dev_rounds, dev_final_eps, dev_phases, tier_rounds = \
+        jax.device_get((res.prices, res.sigma, res.rounds,
+                        res.final_eps, res.phases, tier_rounds))
+    dev_rounds = int(dev_rounds)
+    # device_get may hand back read-only buffers; the native GS finisher
+    # mutates prices/sigma in place, so take writable host copies (~ms).
+    prices = np.array(prices)
+    sigma = np.array(sigma)
+    t_readback = time.perf_counter() - t_rb0
     # owner is derivable from sigma for square problems (no dummies).
     owner[:] = -1
     assigned = sigma >= 0
@@ -203,21 +224,22 @@ def _finish_square_fast_path(res, tier_rounds, prob, indptr, indices, data,
     # phase's violator scan re-auctions stale pairs).  If it exited on
     # the round budget at eps > eps_min, the host GS still completes the
     # assignment, but earlier-assigned pairs are only final_eps-CS.
-    dev_eps = float(np.asarray(res.final_eps))
+    dev_eps = float(dev_final_eps)
     # Compare in the DEVICE dtype: e_min is host float64 and the f32
     # device eps may round a hair above it, which must not read as
     # "never reached eps_min".
-    eps_reached = bool(np.asarray(res.final_eps)
+    eps_reached = bool(np.asarray(dev_final_eps)
                        <= np.asarray(e_min, data.dtype))
     meta = {
         "its": dev_rounds,
         "host_bids": max(int(bids), 0),
-        "phases": int(res.phases),
+        "phases": int(dev_phases),
         "final_eps": (float(e_min) if eps_reached else dev_eps) / tr.scale,
         "unassigned": unassigned,
         "soln_found": unassigned == 0 and bids >= 0 and eps_reached,
         "time": time.perf_counter() - t0,
         "device_time": t_dev,
+        "readback_time": t_readback,
         "host_gs_time": t_gs,
         "tier_rounds": np.asarray(tier_rounds).tolist(),
         "mode": mode,
