@@ -142,6 +142,16 @@ def main():
         f"obj={res_cpu['meta']['obj']:.1f}")
 
     if not alive:
+        # Second chance: the CPU-reference section above takes minutes, and
+        # the tunnel's observed half-dead state (a timeout-killed client
+        # leaves a stale claim on the relay) recovers on that timescale --
+        # a fully-dead relay still TCP-fast-fails in seconds, so this
+        # re-probe is cheap exactly when it is hopeless.
+        alive = device_alive(wait_s=180)
+        if alive:
+            log("device probe: backend recovered on the post-CPU re-probe; "
+                "continuing with the hybrid path")
+    if not alive:
         # The reported path IS the baseline-class CPU solver; vs_baseline
         # 1.0 by construction, flagged so the record can't be read as a
         # TPU result.
