@@ -67,7 +67,10 @@ def main():
         # schedule re-anneals the (small) cost changes.  (Do NOT warm-start
         # with a tiny eps_start: correcting cost changes of magnitude D at
         # fixed eps takes ~D/eps rounds per contested column -- the classic
-        # auction warm-start pitfall.)
+        # auction warm-start pitfall.  On the 'hybrid'/'cpu' engines, add
+        # warm_mode="fr" when the pattern churns or frames chain: the
+        # forward-reverse tightening lowers stale duals to the new market
+        # level first -- see benchmarks/tracking.py and PERF.md round 5.)
         res = solver.solve(warm_prices=prices)
         if frame == 1:
             # Fair comparison on the SAME frame: cold vs warm.

@@ -194,7 +194,7 @@ class AuctionSolver:
         # (square hybrid, n >= 400k), True/False = force.
         self.wide_rounds = wide_rounds
         # Fine tier interleave below 32768 (compact.default_tiers):
-        # None = SSLAP_TPU_FINE_LADDER env default (off).
+        # None = SSLAP_TPU_FINE_LADDER env default (on since round 5).
         self.fine_ladder = fine_ladder
         self.prices: Optional[np.ndarray] = None
         self.meta: Optional[dict] = None
@@ -323,8 +323,16 @@ class AuctionSolver:
             raise ValueError(
                 "engine='dense' needs a square f32/int32 problem with "
                 "n <= 16384 and the native toolchain")
+        # The [1, n, K] stack is pure host copies of the (fixed) problem
+        # arrays -- ~150 MB per call at dense 4096 -- so build it once per
+        # solver (round 5; same one-solver-one-problem contract as the
+        # rest of _device_cache).
+        stacked = self._device_cache.get("dense_stacked")
+        if stacked is None:
+            stacked = stack_problems([prob])
+            self._device_cache["dense_stacked"] = stacked
         sols, metas, prices = _db.solve_batched_dense_hybrid(
-            stack_problems([prob]), problem=self.problem,
+            stacked, problem=self.problem,
             eps_start=self.eps_start, eps_min=self.eps_min,
             theta=(5.0 if self.theta is None else self.theta),
             max_iter=self.max_iter, return_prices=True,
@@ -338,9 +346,19 @@ class AuctionSolver:
                                prices=self.prices)
 
     def solve(self, warm_prices=None,
-              warm_relax: float = 1.0) -> AuctionSolution:
+              warm_relax: float = 1.0,
+              warm_mode: str = "raw") -> AuctionSolution:
         """Solve; optionally warm-started from a previous solution's
         ``prices`` (transformed-space duals, >= 0 on every mode).
+
+        ``warm_mode``: ``'raw'`` uses the warm prices as given (after
+        ``warm_relax``); ``'fr'`` first applies the forward-reverse dual
+        tightening (auction.fr_tighten) against THIS solve's costs --
+        prices can only fall, repairing duals that pattern churn or value
+        drift left above the new market level (the forward auction's
+        structural warm-start hard case; PERF.md round 4 measured 41-49M
+        bid blowups from chained raw warm starts).  Supported on the
+        'hybrid'/'cpu' engines; ignored when warm_prices is None.
 
         ``warm_relax``: multiply the warm prices by this factor in
         (0, 1].  For PATTERN-churned re-solves (tracking workloads where
@@ -354,12 +372,20 @@ class AuctionSolver:
         value drift keeps the default 1.0 (and a drift-matched
         eps_start ~ 4x the drift)."""
         prob = self.problem_spec
+        if warm_mode not in ("raw", "fr"):
+            raise ValueError("warm_mode must be 'raw' or 'fr'")
+        warm_fr = 0
         if warm_prices is not None:
             if not (0.0 < warm_relax <= 1.0):
                 raise ValueError("warm_relax must be in (0, 1]")
             warm_prices = _auction.validate_warm_prices(warm_prices, prob.m)
             if warm_relax != 1.0:
                 warm_prices = np.asarray(warm_prices) * warm_relax
+            if warm_mode == "fr":
+                # 2 sweeps: the second uses the lowered prices to raise
+                # profits and settle any cascade; the native loop
+                # early-exits at the fixed point anyway.
+                warm_fr = 2
         t0 = time.perf_counter()
         if self.cardinality_check and not _feas.is_feasible(prob):
             raise InfeasibleError(
@@ -414,7 +440,8 @@ class AuctionSolver:
                     keep_assignment=self.keep_assignment, engine=engine,
                     device_cache=self._device_cache,
                     wide_rounds=self.wide_rounds,
-                    fine_ladder=self.fine_ladder)
+                    fine_ladder=self.fine_ladder,
+                    warm_fr=warm_fr)
             except jax.errors.JaxRuntimeError as e:
                 if mode != "hybrid":
                     raise
@@ -430,7 +457,8 @@ class AuctionSolver:
                     eps_min=self.eps_min, theta=self.theta,
                     max_iter=self.max_iter, mode="cpu",
                     warm_prices=warm_prices,
-                    keep_assignment=self.keep_assignment)
+                    keep_assignment=self.keep_assignment,
+                    warm_fr=warm_fr)
             unassigned = hmeta["unassigned"] + n_empty
             # AND with the engine's own verdict: solve_hybrid also requires
             # bids >= 0 (GS budget not exhausted) and eps_min reached --

@@ -570,6 +570,52 @@ def default_max_iter(n: int) -> int:
     return min(50 * n + 2000, 10_000_000)
 
 
+def fr_tighten(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+               prices: np.ndarray, iters: int = 2) -> np.ndarray:
+    """Forward-reverse dual tightening for warm starts, in place over CSR
+    (transformed MAXIMIZATION values; prices same dtype as ``data``).
+
+    Per sweep:  pi_i = max_j (a_ij - p_j)  then
+                p_j <- min(p_j, max(0, max_i (a_ij - pi_i))).
+    Prices can only FALL -- the direction forward bidding cannot move --
+    which repairs pattern-churned warm duals (columns whose supporting
+    edges vanished drop to their true market level) while keeping the
+    dual information a scalar warm_relax multiply would flatten.  The
+    subsequent auction converges from any finite non-negative prices, so
+    tightening affects bid counts, never the fixed point.  See the
+    fr_tighten docstring in native/sslap_native.cpp for the one-line
+    feasibility/monotonicity proofs (Bertsekas forward-reverse family,
+    arXiv:1401.0119).
+
+    Native single-pass C++ when the toolchain exists; numpy ufunc.at
+    segment-max sweeps otherwise (identical results)."""
+    from sslap_tpu.native.build import fr_tighten_native
+    if fr_tighten_native(indptr, indices, data, prices, iters):
+        return prices
+    n = indptr.shape[0] - 1
+    m = prices.shape[0]
+    dt = prices.dtype
+    neg = (np.iinfo(dt).min if np.issubdtype(dt, np.integer)
+           else np.array(-np.inf, dt))
+    rows_flat = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    for _ in range(int(iters)):
+        w = data - prices[indices]
+        pi = np.full(n, neg, dt)
+        np.maximum.at(pi, rows_flat, w)
+        # Empty rows keep pi == neg but contribute no flat entries, so the
+        # reverse pass never reads them.
+        v = data - pi[rows_flat]
+        pnew = np.full(m, neg, dt)
+        np.maximum.at(pnew, indices, v)
+        cand = np.where(pnew == neg, np.array(0, dt),
+                        np.maximum(pnew, np.array(0, dt)))
+        before = prices.copy()
+        np.minimum(prices, cand, out=prices)
+        if np.array_equal(before, prices):
+            break
+    return prices
+
+
 def validate_warm_prices(warm_prices, m: int) -> np.ndarray:
     """Shape-check a user-supplied warm price vector (one dual per COLUMN);
     a silent mis-shaped array would otherwise surface as an opaque jit

@@ -267,6 +267,7 @@ def solve_hybrid(
     device_cache: Optional[dict] = None,
     wide_rounds: Optional[bool] = None,
     fine_ladder: Optional[bool] = None,
+    warm_fr: int = 0,
 ):
     """eps-scaled solve with device bulk + host tail (or pure host).
 
@@ -329,6 +330,12 @@ def solve_hybrid(
 
     prices = np.zeros(m, dtype) if warm_prices is None else \
         np.array(warm_prices, dtype)
+    if warm_prices is not None and warm_fr > 0:
+        # Forward-reverse dual tightening (round 5): repair warm prices
+        # that sit ABOVE the new instance's market level -- the forward
+        # auction's structural warm-start hard case (prices only rise).
+        # Two O(nnz) passes per sweep over the already-built CSR.
+        _auction.fr_tighten(indptr, indices, data, prices, iters=warm_fr)
     sigma = np.full(n, -1, np.int32)
     owner = np.full(m, -1, np.int32)
 
@@ -355,11 +362,13 @@ def solve_hybrid(
         # Ladder choice (round 4): prune tiers at/below the static trunc
         # (never entered -- a phase truncates once active <= trunc) and
         # spend the freed program size on fine {2^k, 3*2^(k-1)}
-        # interleaving below 32768 when requested.  Bit-identical results
-        # for any ladder (compact.default_tiers docstring).
-        # fine_ladder=None defers to SSLAP_TPU_FINE_LADDER (default off:
-        # deeper ladders carry the documented 1M-shape compile-time
-        # risk; measured A/B in PERF.md round 4).
+        # interleaving below 32768.  Bit-identical results for any ladder
+        # (compact.default_tiers docstring).
+        # fine_ladder=None defers to SSLAP_TPU_FINE_LADDER (round-5
+        # default ON: the on-chip A/B at 1M measured device 4.59 s vs
+        # 4.83 s -- same bids, same objective -- and the feared deep-
+        # ladder compile blowup didn't materialize with floor pruning:
+        # 166 s one-time, persistent-cached; chip_logs/r5a_ladder_ab.log).
         if fine_ladder is None:
             fine_ladder = os.environ.get(
                 "SSLAP_TPU_FINE_LADDER", "0") == "1"

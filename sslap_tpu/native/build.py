@@ -161,6 +161,18 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.sslap_unassign_violators_i32.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p,
         i32p, i32p, i32p, ctypes.c_int32, ctypes.c_int64]
+    lib.sslap_fr_tighten_f32.restype = None
+    lib.sslap_fr_tighten_f32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i32p, f32p, f32p,
+        ctypes.c_int64]
+    lib.sslap_fr_tighten_f64.restype = None
+    lib.sslap_fr_tighten_f64.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i32p, f64p, f64p,
+        ctypes.c_int64]
+    lib.sslap_fr_tighten_i32.restype = None
+    lib.sslap_fr_tighten_i32.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p, i32p,
+        ctypes.c_int64]
 
 
 def _ptr(arr: np.ndarray, ctype):
@@ -442,6 +454,35 @@ def unassign_violators_native(indptr: np.ndarray, indices: np.ndarray,
     fn(n, m, _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
        _ptr(vals, ct), _ptr(prices, ct), _ptr(sigma, ctypes.c_int32),
        _ptr(owner, ctypes.c_int32), ct(eps), int(n_dummy_total))
+
+
+def fr_tighten_native(indptr: np.ndarray, indices: np.ndarray,
+                      vals: np.ndarray, prices: np.ndarray,
+                      iters: int = 1) -> bool:
+    """In-place forward-reverse dual tightening over CSR (transformed
+    maximization values; see fr_tighten in sslap_native.cpp).  Prices can
+    only fall.  Returns False when the native library is unavailable (the
+    caller falls back to the numpy sweep in auction.fr_tighten)."""
+    lib = load_native()
+    if lib is None:
+        return False
+    n = indptr.shape[0] - 1
+    m = prices.shape[0]
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    assert prices.flags.c_contiguous and vals.flags.c_contiguous
+    assert prices.dtype == vals.dtype
+    if prices.dtype == np.float32:
+        fn, ct = lib.sslap_fr_tighten_f32, ctypes.c_float
+    elif prices.dtype == np.float64:
+        fn, ct = lib.sslap_fr_tighten_f64, ctypes.c_double
+    elif prices.dtype == np.int32:
+        fn, ct = lib.sslap_fr_tighten_i32, ctypes.c_int32
+    else:
+        return False
+    fn(n, m, _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+       _ptr(vals, ct), _ptr(prices, ct), int(iters))
+    return True
 
 
 def build_ell_native(rr: np.ndarray, cc: np.ndarray, vv: np.ndarray,

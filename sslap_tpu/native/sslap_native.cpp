@@ -13,6 +13,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <numeric>
 #include <vector>
 
@@ -659,9 +660,87 @@ void unassign_violators(int64_t n, int64_t m, const int64_t* indptr,
   }
 }
 
+// Forward-reverse dual tightening for warm starts (round 5; VERDICT r4
+// task 4 / Bertsekas forward-reverse auction, arXiv:1401.0119 family).
+//
+// The forward auction's structural warm-start weakness: prices only RISE,
+// so warm duals that are too high for the NEW cost pattern (edges churned
+// away, values drifted down) leave displaced rows no bidding slack and
+// eviction chains blow up (measured: 41-49M-bid chained-warm blowups at
+// 1M, PERF.md round 4).  One tightening sweep repairs exactly that:
+//
+//   pi_i    = max_j (a_ij - p_j)              (row profits, forward pass)
+//   p_j    <- min(p_j, max(0, max_i (a_ij - pi_i)))   (reverse pass)
+//
+// Properties (both one-line proofs from the max definitions):
+//   * dual feasibility: a_ij - pi_i - p_j^new <= 0 on every edge;
+//   * monotone descent: pi_i >= a_ij - p_j^old  =>  p_j^new <= p_j^old --
+//     prices can only FALL, the direction forward bidding cannot move;
+//   * columns whose supporting edges vanished fall to their true market
+//     level (or 0 when nothing wants them), restoring bidding slack
+//     without discarding the dual information the way a scalar
+//     warm_relax multiply does.
+// Correctness of the subsequent solve is unconditional: the auction
+// converges from ANY finite non-negative starting prices; tightening only
+// changes the bid count, never the fixed point.
+template <typename T>
+void fr_tighten(int64_t n, int64_t m, const int64_t* indptr,
+                const int32_t* indices, const T* vals, T* prices,
+                int64_t iters) {
+  const T kLowest = std::numeric_limits<T>::lowest();
+  std::vector<T> pi(n);
+  std::vector<T> pnew(m);
+  for (int64_t it = 0; it < iters; ++it) {
+    for (int64_t i = 0; i < n; ++i) {
+      T best = kLowest;
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        T w = vals[k] - prices[indices[k]];
+        if (w > best) best = w;
+      }
+      pi[i] = best;
+    }
+    std::fill(pnew.begin(), pnew.end(), kLowest);
+    for (int64_t i = 0; i < n; ++i) {
+      if (pi[i] == kLowest) continue;  // empty row supports nothing
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        T w = vals[k] - pi[i];
+        int32_t j = indices[k];
+        if (w > pnew[j]) pnew[j] = w;
+      }
+    }
+    bool changed = false;
+    for (int64_t j = 0; j < m; ++j) {
+      T cand = (pnew[j] == kLowest) ? T(0) : std::max(T(0), pnew[j]);
+      if (cand < prices[j]) {
+        prices[j] = cand;
+        changed = true;
+      }
+    }
+    if (!changed) break;  // fixed point: further sweeps are no-ops
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+void sslap_fr_tighten_f32(int64_t n, int64_t m, const int64_t* indptr,
+                          const int32_t* indices, const float* vals,
+                          float* prices, int64_t iters) {
+  fr_tighten<float>(n, m, indptr, indices, vals, prices, iters);
+}
+
+void sslap_fr_tighten_f64(int64_t n, int64_t m, const int64_t* indptr,
+                          const int32_t* indices, const double* vals,
+                          double* prices, int64_t iters) {
+  fr_tighten<double>(n, m, indptr, indices, vals, prices, iters);
+}
+
+void sslap_fr_tighten_i32(int64_t n, int64_t m, const int64_t* indptr,
+                          const int32_t* indices, const int32_t* vals,
+                          int32_t* prices, int64_t iters) {
+  fr_tighten<int32_t>(n, m, indptr, indices, vals, prices, iters);
+}
 
 void sslap_unassign_violators_f32(int64_t n, int64_t m, const int64_t* indptr,
                                   const int32_t* indices, const float* vals,
