@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--skip-fine", action="store_true")
+    ap.add_argument("--only-fine", action="store_true",
+                    help="skip the default-ladder arm (round 5: fine is "
+                         "the shipped default; sweep truncs on it alone)")
     ap.add_argument("--truncs", type=str, default="256,384,512")
     args = ap.parse_args()
 
@@ -84,15 +87,16 @@ def main():
 
     truncs = [int(t) for t in args.truncs.split(",")]
     cache = {}
-    # Default (floor-pruned) ladder: warm once, then the trunc sweep.
-    t0 = time.perf_counter()
-    H.solve_hybrid(prob, trunc=truncs[0], device_cache=cache,
-                   fine_ladder=False)
-    log(f"default-ladder warm (compile+H2D): "
-        f"{time.perf_counter() - t0:.1f}s")
-    for trunc in truncs:
-        cell = steady(False, trunc, cache, args.reps)
-        print(json.dumps(cell), flush=True)
+    if not args.only_fine:
+        # Default (floor-pruned) ladder: warm once, then the trunc sweep.
+        t0 = time.perf_counter()
+        H.solve_hybrid(prob, trunc=truncs[0], device_cache=cache,
+                       fine_ladder=False)
+        log(f"default-ladder warm (compile+H2D): "
+            f"{time.perf_counter() - t0:.1f}s")
+        for trunc in truncs:
+            cell = steady(False, trunc, cache, args.reps)
+            print(json.dumps(cell), flush=True)
 
     if args.skip_fine:
         return

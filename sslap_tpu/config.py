@@ -50,7 +50,8 @@ class AuctionConfig:
                                          # interleave below 32768 on the
                                          # square hybrid (None = env
                                          # SSLAP_TPU_FINE_LADDER, default
-                                         # off; see compact.default_tiers)
+                                         # ON since round 5's on-chip A/B;
+                                         # see compact.default_tiers)
     engine: str = "auto"                 # square device engine: 'auto'|
                                          # 'compact'|'candidates'|'dense'
 

@@ -371,7 +371,7 @@ def solve_hybrid(
         # 166 s one-time, persistent-cached; chip_logs/r5a_ladder_ab.log).
         if fine_ladder is None:
             fine_ladder = os.environ.get(
-                "SSLAP_TPU_FINE_LADDER", "0") == "1"
+                "SSLAP_TPU_FINE_LADDER", "1") == "1"
         tiers_static = _compact_mod().default_tiers(
             n, fine=bool(fine_ladder), floor=trunc_static)
         # The cache dict is owned by ONE AuctionSolver bound to one
