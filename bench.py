@@ -125,20 +125,30 @@ def main():
     # CPU reference (sslap-class Gauss-Seidel, single thread), measured
     # under the SAME construct-once serving pattern as the hybrid (VERDICT
     # round-2 weak item 1: steady-state vs steady-state).  The 1-vCPU host
-    # varies up to 6x run-to-run (steal time), so >= 3 steady-state reps
-    # feed a median + band instead of a single draw.
+    # varies up to 6x run-to-run (steal time) and swung vs_baseline by
+    # +-12% same-day across rounds 2-4 (VERDICT round-4 weak item 1), so
+    # the reference is now 5 steady-state reps -> TRIMMED median (drop the
+    # single worst outlier, median the rest) with per-rep load averages
+    # recorded so a contaminated run is visible in the log.
     solver_cpu = AuctionSolver(loc=loc, val=vv, shape=(n, n), mode="cpu",
                                cardinality_check=False)
     res_cpu = solver_cpu.solve()                 # warm: ingest + CSR cached
-    cpu_times = []
-    for _ in range(3):
+    cpu_times, cpu_loads = [], []
+    cpu_reps = int(os.environ.get("BENCH_CPU_REPS", "5"))
+    for _ in range(cpu_reps):
+        load0 = os.getloadavg()[0]
         t0 = time.perf_counter()
         res_cpu = solver_cpu.solve()
         cpu_times.append(time.perf_counter() - t0)
-    cpu_t = float(np.median(cpu_times))
+        cpu_loads.append(round(max(load0, os.getloadavg()[0]), 2))
+    # Trimmed median: steal-time contamination is one-sided (reps only get
+    # SLOWER under load), so drop the max before the median.
+    trimmed = sorted(cpu_times)[:-1] if len(cpu_times) > 2 else cpu_times
+    cpu_t = float(np.median(trimmed))
     log(f"cpu (sslap-class GS, steady-state x{len(cpu_times)}): "
-        f"median {cpu_t:.2f}s band [{min(cpu_times):.2f}, "
-        f"{max(cpu_times):.2f}]s bids={res_cpu['meta']['host_bids']} "
+        f"trimmed median {cpu_t:.2f}s band [{min(cpu_times):.2f}, "
+        f"{max(cpu_times):.2f}]s loadavg/rep={cpu_loads} "
+        f"bids={res_cpu['meta']['host_bids']} "
         f"obj={res_cpu['meta']['obj']:.1f}")
 
     if not alive:
@@ -151,6 +161,12 @@ def main():
         if alive:
             log("device probe: backend recovered on the post-CPU re-probe; "
                 "continuing with the hybrid path")
+            # The startup-time exactness smoke was skipped on this branch
+            # (initial probe reported dead); run it now, BEFORE this
+            # process opens its long-lived device connection, so the
+            # recorded headline never comes from a session whose
+            # device-exactness gate never ran (ADVICE round 4).
+            smoke_device_exact()
     if not alive:
         # The reported path IS the baseline-class CPU solver; vs_baseline
         # 1.0 by construction, flagged so the record can't be read as a
@@ -165,13 +181,11 @@ def main():
             "cpu_steady_band": [round(min(cpu_times), 2),
                                 round(max(cpu_times), 2)],
             "note": "TPU tunnel dead for this run; CPU reference only. "
-                    "Last on-chip round-4 measurements (PERF.md round-4, "
-                    "2026-08-19, same code path with window-gather wide "
-                    "rounds): hybrid steady 6.63-6.86 s (device 5.10 s + "
-                    "GS 1.06-1.18 s) vs CPU steady median 9.9-11.9 s at "
-                    "1M x 1M -> vs_baseline 1.51-2.08 across the host's "
-                    "variance band (chip_logs/r4_wide_ab.log, "
-                    "r4_bench_full.log).",
+                    "Last on-chip headline of record (BENCH_r04.json, "
+                    "2026-08-20, same code path with window-gather wide "
+                    "rounds): hybrid steady 6.12 s (device 4.83 s + GS "
+                    "0.96 s + readback 0.25 s) vs CPU steady 9.85 s at "
+                    "1M x 1M -> vs_baseline 1.611, band [1.571, 1.639].",
         }))
         return
 
@@ -202,6 +216,11 @@ def main():
     rel_gap = abs(meta["obj"] - res_cpu["meta"]["obj"]) / abs(
         res_cpu["meta"]["obj"])
     log(f"objective agreement cpu vs hybrid: rel gap {rel_gap:.2e}")
+    # Hard gate, not just a log line (ADVICE round 4): both engines solve
+    # the same float32 instance to eps-optimality; disagreement beyond f32
+    # accumulation noise means a correctness regression, and the headline
+    # must not be recorded over one.
+    assert rel_gap < 1e-6, f"cpu-vs-hybrid objective rel gap {rel_gap:.2e}"
 
     # Device-pass achieved bandwidth (VERDICT round-2 weak item 2): the
     # per-chip-efficiency number the >= 70%-of-SoL north star is about.
@@ -247,11 +266,20 @@ def main():
     # it goes BELOW 1.0 when the device path loses to the sslap-class
     # single-thread CPU reference.
     nnz_per_s = nnz / hyb_t
-    # SoL denominator: v5e HBM spec 819 GB/s over 8 B/nnz ELL.  (Chained
-    # stream measurements bracket 0.5-1.4 TB/s depending on what XLA
-    # elides; the hardware spec is the defensible bound.)
-    stream_bound_nnz_s = 819e9 / 8.0
     log(f"best mode: {'cpu' if cpu_t <= hyb_t else 'hybrid'}")
+    # JSON field notes (VERDICT round-4 weak items 1 and 6):
+    #  - vs_baseline: trimmed-median CPU / median hybrid (host-noise
+    #    hygiene above); band from the raw rep spreads.
+    #  - device_pass_nnz_per_s: nnz / device-pass seconds -- the
+    #    DEVICE-REFERENCED secondary metric, immune to the 1-vCPU CPU
+    #    baseline's steal-time wobble; compare it round-over-round to see
+    #    real device progress.
+    #  - sol_fraction: PER-PASS accounting -- device touched GB/s over
+    #    the v5e HBM spec (819 GB/s), i.e. the same number as the "% of
+    #    v5e HBM spec" log line and the >= 70%-of-SoL north-star metric.
+    #    (Before round 5 this field misleadingly divided time-to-optimal
+    #    nnz/s -- which re-touches nnz over thousands of rounds -- by a
+    #    single-pass stream bound.)
     print(json.dumps({
         "metric": "time_to_optimal_1Mx1M_sparse_lap_nnz_per_s",
         "value": round(nnz_per_s, 1),
@@ -262,16 +290,20 @@ def main():
         "cpu_steady_s": round(cpu_t, 2),
         "cpu_steady_band": [round(min(cpu_times), 2),
                             round(max(cpu_times), 2)],
+        "cpu_loadavg_per_rep": cpu_loads,
         "hyb_steady_s": round(hyb_t, 2),
         "cpu_nnz_per_s": round(nnz / cpu_t, 1),
         "device_s": round(device_s, 2),
+        "device_pass_nnz_per_s": (round(nnz / device_s, 1)
+                                  if device_s > 0 else None),
         "readback_s": round(meta.get("readback_time", 0.0), 2),
         "host_gs_s": round(meta.get("host_gs_time", 0.0), 2),
         "device_achieved_gbps": (round(achieved_gbps, 2)
                                  if achieved_gbps else None),
         "device_touched_gbps": (round(touched_gbps, 2)
                                 if touched_gbps else None),
-        "sol_fraction": round(nnz_per_s / stream_bound_nnz_s, 6),
+        "sol_fraction": (round(touched_gbps / 819.0, 6)
+                         if touched_gbps else None),
     }))
 
 
