@@ -204,8 +204,27 @@ def solve_batched_dense_hybrid(
     vals_np = np.asarray(prob.vals)
     valid_np = np.asarray(prob.valid)
     dtype = vals_np.dtype
-    vmax_abs = float(np.abs(vals_np[valid_np]).max()) if valid_np.any() \
-        else 0.0
+    # Value-range scalars: computed with ONE O(nnz) masked extraction and
+    # cached across serving re-solves (round 5: the previous per-call
+    # float64 [B, n, K] ``tvals`` temporary alone was ~1 GB of host
+    # traffic per cached dense-4096 solve on the 1-vCPU host).  Same
+    # caller contract as every other field in this cache: one solver, one
+    # problem; same-shape different data must not reuse the dict.
+    skey = ("dense_scalars", B, n, K, str(dtype), prob.nnz, problem)
+    if device_cache is not None and device_cache.get("dense_skey") == skey:
+        vmax_abs, vmin_v, vmax_v = device_cache["dense_scalars"]
+    else:
+        if valid_np.any():
+            vv = vals_np[valid_np]
+            vmax_abs = float(np.abs(vv).max())
+            vmin_v = float(vv.min())
+            vmax_v = float(vv.max())
+            del vv
+        else:
+            vmax_abs = vmin_v = vmax_v = 0.0
+        if device_cache is not None:
+            device_cache.update(dense_skey=skey,
+                                dense_scalars=(vmax_abs, vmin_v, vmax_v))
     tr = _auction.make_transform(problem, m, dtype, vmax_abs,
                                  int_exact=prob.int_exact)
     e0, e_min, theta_v = _auction.default_eps_schedule(
@@ -220,8 +239,10 @@ def solve_batched_dense_hybrid(
     if chunk is None:
         chunk = max(1, min(B, dense_budget_bytes // (n * m * itemsize)))
 
-    tvals = vals_np.astype(np.float64) * (tr.sign * tr.scale)
-    bigp = (float(tvals[valid_np].max() - tvals[valid_np].min()) + 1.0
+    # bigp = transformed-value spread + 1; the transform is linear, so the
+    # spread is |sign*scale| * (max - min) of the raw values -- no
+    # full-size transformed temporary needed.
+    bigp = (abs(float(tr.sign * tr.scale)) * (vmax_v - vmin_v) + 1.0
             if valid_np.any() else 1.0)
 
     cache_key = (B, n, K, str(dtype), tr.sign, tr.scale, prob.nnz)
@@ -230,7 +251,7 @@ def solve_batched_dense_hybrid(
     if device_cache is not None and \
             device_cache.get("dense_key") == cache_key:
         (nvalid_all, counts, indptr_all, indices_flat, data_flat,
-         inst_off) = device_cache["dense_csr"]
+         inst_off, obj_keys, obj_vals) = device_cache["dense_csr"]
     else:
         # Batched host CSR in ONE pass over the whole batch (the
         # per-instance mask-and-extract loop measured ~40 s at B=256,
@@ -244,11 +265,25 @@ def solve_batched_dense_hybrid(
                      np.asarray(tr.sign * tr.scale, dtype)).astype(dtype)
         inst_off = np.zeros(B + 1, np.int64)
         np.cumsum(counts.sum(axis=1), out=inst_off[1:])
+        # Objective lookup table (round 5): global (b*n + r)*m + c keys
+        # over the RAW values.  When every row's columns are ascending
+        # (ingest's ELL order) the keys are globally sorted, and the
+        # per-solve exact objective becomes one O(n log nnz) searchsorted
+        # gather instead of three [B, n, K] broadcast temporaries (~1.5 GB
+        # of host traffic per cached dense-4096 solve).
+        rows_flat = np.repeat(np.arange(B * n, dtype=np.int64),
+                              counts.ravel())
+        obj_keys = rows_flat * m + indices_flat
+        obj_keys = obj_keys if obj_keys.size == 0 or \
+            bool((np.diff(obj_keys) > 0).all()) else None
+        obj_vals = (vals_all[valid_np].astype(np.float64)
+                    if obj_keys is not None else None)
+        del rows_flat
         if device_cache is not None:
             device_cache.update(
                 dense_key=cache_key,
                 dense_csr=(nvalid_all, counts, indptr_all, indices_flat,
-                           data_flat, inst_off))
+                           data_flat, inst_off, obj_keys, obj_vals))
 
     sols = np.full((B, n), -1, np.int32)
     prices_out = np.zeros((B, m), dtype) if return_prices else None
@@ -340,9 +375,24 @@ def solve_batched_dense_hybrid(
             })
         gs_s += time.perf_counter() - tg0
 
-    # Batched exact objectives (host, one vectorized pass).
-    hit = (cols_all == sols[:, :, None]) & valid_np          # [B, n, K]
-    acc = np.where(hit, vals_all, 0).astype(np.float64).sum(axis=(1, 2))
+    # Batched exact objectives (host).  Fast path: binary-search each
+    # assigned (row, col) pair in the sorted key table -- O(n log nnz) --
+    # falling back to the one-shot [B, n, K] broadcast pass when the ELL
+    # column order wasn't ascending (obj_keys is None).
+    if obj_keys is not None:
+        sig_flat = sols.ravel().astype(np.int64)
+        rows_glob = np.arange(B * n, dtype=np.int64)
+        matched = sig_flat >= 0
+        q = rows_glob[matched] * m + sig_flat[matched]
+        pos = np.searchsorted(obj_keys, q)
+        pos_c = np.minimum(pos, max(obj_keys.size - 1, 0))
+        ok = (pos < obj_keys.size) & (obj_keys[pos_c] == q)
+        contrib = np.where(ok, obj_vals[pos_c], 0.0)
+        acc = np.bincount(rows_glob[matched] // n, weights=contrib,
+                          minlength=B)
+    else:
+        hit = (cols_all == sols[:, :, None]) & valid_np      # [B, n, K]
+        acc = np.where(hit, vals_all, 0).astype(np.float64).sum(axis=(1, 2))
     integral = np.issubdtype(vals_all.dtype, np.integer) or prob.int_exact
     for b, mt in enumerate(metas):
         if mt["soln_found"]:
