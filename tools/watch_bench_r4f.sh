@@ -7,9 +7,14 @@
 LOG=/root/repo/chip_logs/r4f_bench_watch.log
 echo "bench watch start $(date +%F_%T)" >> "$LOG"
 for i in $(seq 1 40); do
-  if timeout 150 python -c "
-import jax, jax.numpy as jnp
-x = jnp.ones((128,128)); print(float((x@x).sum()))
+  # Probe via the package's liveness utility (ADVICE round 4): it TCP
+  # fast-fails a fully-dead relay BEFORE spawning a device client, so
+  # the probe itself cannot stale-claim-wedge the tunnel the way a
+  # timeout-killed in-process device op can (PERF.md round-4 finding);
+  # its per-attempt timeout also covers worst-case cold compiles.
+  if timeout 400 python -c "
+from sslap_tpu.utils import device_alive
+import sys; sys.exit(0 if device_alive(wait_s=300) else 1)
 " >/dev/null 2>&1; then
     echo "ALIVE probe=$i $(date +%F_%T)" >> "$LOG"
     timeout 3300 python -u bench.py \
