@@ -114,13 +114,22 @@ def main():
             (ks & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.float32)
         return ws + jnp.float32(1.0)
 
-    try:
-        s = chain_time(step_u64, w0)
-        results["B_u64_sort"] = s / N
-        log(f"B u64_sort       {s*1e3:8.2f} ms  {s/N*1e9:6.2f} ns/elem")
-    except Exception as e:                   # u64 may not lower on TPU
+    if not jax.config.jax_enable_x64:
+        # Without x64 the uint64 silently TRUNCATES to uint32 and the
+        # "sort" measures a meaningless single-u32 sort (first run of this
+        # probe did exactly that).  Run JAX_ENABLE_X64=1 for this arm.
         results["B_u64_sort"] = None
-        log(f"B u64_sort       FAILED: {type(e).__name__}: {str(e)[:120]}")
+        log("B u64_sort       SKIPPED (needs JAX_ENABLE_X64=1; u64 "
+            "truncates to u32 otherwise)")
+    else:
+        try:
+            s = chain_time(step_u64, w0)
+            results["B_u64_sort"] = s / N
+            log(f"B u64_sort       {s*1e3:8.2f} ms  {s/N*1e9:6.2f} ns/elem")
+        except Exception as e:               # u64 may not lower on TPU
+            results["B_u64_sort"] = None
+            log(f"B u64_sort       FAILED: "
+                f"{type(e).__name__}: {str(e)[:120]}")
 
     # C. static gather (known-permutation apply via take)
     def step_take(w):
@@ -157,10 +166,56 @@ def main():
     results["E_transpose"] = s / N
     log(f"E transpose      {s*1e3:8.2f} ms  {s/N*1e9:6.2f} ns/elem")
 
+    # F/G. Beneš-style pipelines: alternating static within-row 128-lane
+    # permutations and stride-128 relabels ([A,128] -> T -> flatten ->
+    # re-view [A,128]).  Random static routes (cost model only -- a real
+    # join needs the routing computed at build time); parity vs numpy
+    # asserts nothing was elided.
+    def make_clos(idx_list_np):
+        idxs = [jnp.asarray(i) for i in idx_list_np]
+
+        def step(w):
+            x = w
+            for idx in idxs:
+                x2 = x.reshape(A, 128)
+                oh = idx[..., None] == iota
+                x2 = jnp.sum(jnp.where(oh, x2[:, None, :], jnp.float32(0)),
+                             axis=-1)
+                x = x2.T.reshape(-1)
+            return x + jnp.float32(1.0)
+
+        def ref(wn):
+            x = wn
+            for i in idx_list_np:
+                x2 = np.take_along_axis(x.reshape(A, 128), i, axis=1)
+                x = x2.T.reshape(-1)
+            return x + np.float32(1.0)
+
+        return step, ref
+
+    for nstage, tag in ((3, "F_clos3"), (6, "G_clos6")):
+        idx_list_np = [
+            np.argsort(rng.random((A, 128)), axis=1).astype(np.int32)
+            for _ in range(nstage)]
+        step_c, ref_c = make_clos(idx_list_np)
+        got = np.asarray(jax.jit(step_c)(w0))
+        want = ref_c(np.asarray(w0))
+        assert np.array_equal(got, want), f"{tag} parity FAILED (elided?)"
+        s = chain_time(step_c, w0)
+        results[tag] = s / N
+        log(f"{tag:15s}  {s*1e3:8.2f} ms  {s/N*1e9:6.2f} ns/elem "
+            f"({s/N/nstage*1e9:.3f} ns/stage-elem)")
+
     # Parity spot-checks (cheap, off the clock)
     ws = np.asarray(jax.jit(lambda w: lax.sort((dest, w), num_keys=1)[1])(w0))
     wt = np.asarray(jax.jit(lambda w: jnp.take(w, inv))(w0))
     assert np.array_equal(ws, wt), "sort-join and take disagree"
+    # D parity (one application): one-hot within-row perm == take_along_axis
+    got = np.asarray(jax.jit(step_onehot)(w0))
+    want = (np.take_along_axis(np.asarray(w0).reshape(A, 128),
+                               np.asarray(idx128), axis=1).reshape(-1)
+            + np.float32(1.0))
+    assert np.array_equal(got, want), "D parity FAILED (elided?)"
 
     d = results.get("D_onehot128")
     e = results.get("E_transpose")
