@@ -59,6 +59,19 @@ def neg_sentinel_value(dtype):
     return float(jnp.finfo(dtype).min / 4)
 
 
+def neg_sentinel_np(dtype) -> np.ndarray:
+    """Numpy twin of neg_sentinel for HOST-side code paths.  neg_sentinel
+    builds a jax array; np.asarray() on it is a device fetch, and on this
+    environment's relayed TPU a busy/wedged tunnel turns that one-scalar
+    fetch into a multi-minute stall INSIDE host-only packing code (observed
+    round 5: np_build_rowpack blocked 9+ min in jax array.__array__).
+    Host code must never touch the device for a constant."""
+    dtype = np.dtype(dtype)
+    if np.issubdtype(dtype, np.integer):
+        return np.asarray(_INT_NEG, dtype)
+    return np.asarray(np.finfo(dtype).min / 4, dtype)
+
+
 class AuctionState(NamedTuple):
     """Carried state of the scaled auction.  A tiny pytree -- snapshotting it
     (prices, sigma, owner, eps) is the checkpoint/warm-start payload

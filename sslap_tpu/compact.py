@@ -188,7 +188,7 @@ def np_build_rowpack(cols, vals_t, valid, nvalid, sign_scale=None):
     measured at 34-61 s for 10M rows (VERDICT round-2 task 3)."""
     import numpy as np
     dtype = np.asarray(vals_t).dtype
-    neg = np.asarray(neg_sentinel(dtype))
+    neg = _auction.neg_sentinel_np(dtype)   # host constant: no device touch
     n, K = cols.shape
     W = 2 * K + 1
     R = max(128 // W, 1)

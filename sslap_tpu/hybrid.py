@@ -410,7 +410,7 @@ def solve_hybrid(
                 wide_dev = device_cache["wide"]
             else:
                 from sslap_tpu.ops.widebid import build_wide_layout
-                neg_np = np.asarray(_auction.neg_sentinel(dtype))
+                neg_np = _auction.neg_sentinel_np(dtype)
                 lay = build_wide_layout(
                     np.asarray(prob.cols), vals_np, valid_np, m,
                     sign_scale=tr.sign * tr.scale, neg=neg_np)

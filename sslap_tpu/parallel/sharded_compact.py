@@ -56,7 +56,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from sslap_tpu import auction as _auction
-from sslap_tpu.auction import neg_sentinel
+from sslap_tpu.auction import neg_sentinel, neg_sentinel_np as _neg_sentinel_np
 from sslap_tpu import compact as _compact
 from sslap_tpu.compact import RowPack, fetch_rows, _unpack_rows
 from sslap_tpu.ingest import ELLProblem
@@ -764,7 +764,7 @@ def auction_solve_sharded_hybrid(
     wide_np = None
     if wide_rounds:
         from sslap_tpu.ops.widebid import build_sharded_wide_layouts
-        neg_np = np.asarray(neg_sentinel(vdtype))
+        neg_np = _neg_sentinel_np(vdtype)
         wide_np = build_sharded_wide_layouts(
             np.asarray(prob_p.cols), np.asarray(prob_p.vals),
             np.asarray(prob_p.valid), m, D,
