@@ -228,10 +228,36 @@ def one_case(seed):
         prices = res.get("prices")
         if prices is None:
             return scen, "AuctionSolution missing warm-startable 'prices'"
-        res2 = solver.solve(warm_prices=np.asarray(prices))
+        wkw = {}
+        if mode in ("cpu", "hybrid") and rng.random() < 0.5:
+            # round-5 FR family: the forward-reverse dual tightening must
+            # never change the fixed point, warm-relax composition incl.
+            wkw["warm_mode"] = "fr"
+            if rng.random() < 0.3:
+                wkw["warm_relax"] = float(rng.uniform(0.8, 1.0))
+            scen += " fr"
+        res2 = solver.solve(warm_prices=np.asarray(prices), **wkw)
         if integer and res2["meta"]["obj"] != oracle:
             return scen, (f"warm re-solve obj {res2['meta']['obj']} "
                           f"!= oracle {oracle}")
+        if wkw and mode in ("cpu", "hybrid") and n == m and not integer:
+            # churned-instance FR warm: drift values, re-solve warm from
+            # the stale duals, check vs a fresh oracle
+            val2 = (np.asarray(val, np.float64)
+                    * rng.uniform(0.8, 1.25, len(val))).astype(np.float64)
+            s3 = AuctionSolver(loc=loc, val=val2, shape=(n, m),
+                               problem=problem, mode=mode,
+                               cardinality_check=False)
+            res3 = s3.solve(warm_prices=np.asarray(prices),
+                            warm_mode="fr")
+            if not res3["meta"]["soln_found"]:
+                return scen, f"fr churn warm: soln_found False"
+            orc3 = scipy_sparse_objective(loc, val2, n, m,
+                                          maximize=problem == "max")
+            tol3 = (m + 1) * res3["meta"]["final_eps"] + 1e-3
+            if abs(res3["meta"]["obj"] - orc3) > tol3:
+                return scen, (f"fr churn warm obj {res3['meta']['obj']} "
+                              f"vs oracle {orc3} beyond {tol3}")
     return scen, None
 
 

@@ -108,7 +108,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="smaller grid (CI-sized)")
+    ap.add_argument("--only", default="",
+                    help="comma subset of {dense,sparse,rect} to run")
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     if args.quick:
         sparse_grid = [(1000, 5), (1000, 20), (10_000, 5)]
@@ -124,18 +127,21 @@ def main():
     rows = []
     # Dense first: the 1M sparse scipy oracle is the sweep's long pole,
     # and a timeout there must not cost the cheap dense cells.
-    for n in dense_grid:
-        cell = run_dense(n)
-        rows.append(cell)
-        print(json.dumps(cell), flush=True)
-    for n, k in sparse_grid:
-        cell = run_sparse(n, k)
-        rows.append(cell)
-        print(json.dumps(cell), flush=True)
-    for n, m, k in rect_grid:
-        cell = run_sparse(n, k, m=m)
-        rows.append(cell)
-        print(json.dumps(cell), flush=True)
+    if only is None or "dense" in only:
+        for n in dense_grid:
+            cell = run_dense(n)
+            rows.append(cell)
+            print(json.dumps(cell), flush=True)
+    if only is None or "sparse" in only:
+        for n, k in sparse_grid:
+            cell = run_sparse(n, k)
+            rows.append(cell)
+            print(json.dumps(cell), flush=True)
+    if only is None or "rect" in only:
+        for n, m, k in rect_grid:
+            cell = run_sparse(n, k, m=m)
+            rows.append(cell)
+            print(json.dumps(cell), flush=True)
 
     print("\n| instance | nnz/row | ours | scipy | speedup |",
           file=sys.stderr)

@@ -522,6 +522,56 @@ void sslap_eps_cs_stats_f32(int64_t n, int64_t K, const int32_t* cols,
 
 namespace {
 
+// Indexed binary min-heap over (price, col) -- O(log m) dummy bids.
+//
+// Rectangular problems run (m - n) implicit dummy rows whose bid is
+// always "grab the cheapest column at (second-cheapest + eps)".  The
+// original linear scan made every dummy bid O(m); at 10k x 20k that
+// measured 76 s vs scipy's 0.17 s (round 5, chip_logs/r5_sweep_rect).
+// Prices only RISE during the auction, so one sift-down per price
+// update maintains the heap; ties break to the lowest column index
+// (lexicographic (price, col) order), matching the scan and the device
+// semantics bit-for-bit.  The second-smallest PRICE is always at one of
+// the root's children.
+template <typename T>
+struct PriceHeap {
+  std::vector<int32_t> h;    // heap of column ids
+  std::vector<int32_t> pos;  // pos[j] = index of j in h
+  const T* p = nullptr;
+  int64_t m = 0;
+  bool less(int32_t a, int32_t b) const {
+    return p[a] < p[b] || (p[a] == p[b] && a < b);
+  }
+  void sift_down(int64_t i) {
+    for (;;) {
+      int64_t l = 2 * i + 1, r = l + 1, s = i;
+      if (l < m && less(h[l], h[s])) s = l;
+      if (r < m && less(h[r], h[s])) s = r;
+      if (s == i) break;
+      std::swap(h[i], h[s]);
+      pos[h[i]] = (int32_t)i;
+      pos[h[s]] = (int32_t)s;
+      i = s;
+    }
+  }
+  void init(const T* prices, int64_t m_) {
+    p = prices;
+    m = m_;
+    h.resize(m);
+    pos.resize(m);
+    for (int64_t j = 0; j < m; ++j) h[j] = pos[j] = (int32_t)j;
+    for (int64_t i = m / 2 - 1; i >= 0; --i) sift_down(i);
+  }
+  void increased(int32_t j) { sift_down(pos[j]); }
+  int32_t min1() const { return h[0]; }
+  T second_price(T fallback) const {
+    if (m < 2) return fallback;
+    T best = p[h[1]];
+    if (m > 2 && p[h[2]] < best) best = p[h[2]];
+    return best;
+  }
+};
+
 template <typename T, bool kPrefetch>
 int64_t auction_gs(int64_t n, int64_t m, const int64_t* indptr,
                    const int32_t* indices, const T* vals, T* prices,
@@ -553,6 +603,9 @@ int64_t auction_gs(int64_t n, int64_t m, const int64_t* indptr,
       ++dummy_pending;
     }
   };
+
+  PriceHeap<T> heap;  // armed (heap.p != null) only for rectangular runs
+  if (n_dummy_total > 0 && m >= 8) heap.init(prices, m);
 
   int64_t bids = 0;
   while ((head != tail || dummy_pending > 0)) {
@@ -604,23 +657,35 @@ int64_t auction_gs(int64_t n, int64_t m, const int64_t* indptr,
       T bid = vals[kbest] - v2 + eps;
       evict(jstar);
       prices[jstar] = bid;
+      if (heap.p) heap.increased((int32_t)jstar);
       owner[jstar] = u;
       sigma[u] = (int32_t)jstar;
     } else {
       // Dummy bid: value 0 on every column -> top-2 of -p_j == two smallest
-      // prices (ties -> lowest index).
-      int64_t j1 = -1, j2 = -1;
-      for (int64_t j = 0; j < m; ++j) {
-        if (j1 < 0 || prices[j] < prices[j1]) {
-          j2 = j1;
-          j1 = j;
-        } else if (j2 < 0 || prices[j] < prices[j2]) {
-          j2 = j;
+      // prices (ties -> lowest index).  Heap path is bit-identical to the
+      // scan (same lexicographic tie-break, same p2 value) at O(log m)
+      // instead of O(m) per bid.
+      int64_t j1;
+      T p2;
+      if (heap.p) {
+        j1 = heap.min1();
+        p2 = heap.second_price(prices[heap.min1()] + bigp);
+      } else {
+        int64_t jj1 = -1, jj2 = -1;
+        for (int64_t j = 0; j < m; ++j) {
+          if (jj1 < 0 || prices[j] < prices[jj1]) {
+            jj2 = jj1;
+            jj1 = j;
+          } else if (jj2 < 0 || prices[j] < prices[jj2]) {
+            jj2 = j;
+          }
         }
+        j1 = jj1;
+        p2 = (jj2 >= 0) ? prices[jj2] : prices[jj1] + bigp;
       }
-      T p2 = (j2 >= 0) ? prices[j2] : prices[j1] + bigp;
       evict(j1);
       prices[j1] = p2 + eps;
+      if (heap.p) heap.increased((int32_t)j1);
       owner[j1] = -2;
       --dummy_pending;
     }
