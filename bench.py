@@ -133,23 +133,34 @@ def main():
     solver_cpu = AuctionSolver(loc=loc, val=vv, shape=(n, n), mode="cpu",
                                cardinality_check=False)
     res_cpu = solver_cpu.solve()                 # warm: ingest + CSR cached
-    cpu_times, cpu_loads = [], []
     cpu_reps = int(os.environ.get("BENCH_CPU_REPS", "5"))
-    for _ in range(cpu_reps):
+
+    def cpu_rep():
+        nonlocal res_cpu
         load0 = os.getloadavg()[0]
         t0 = time.perf_counter()
         res_cpu = solver_cpu.solve()
-        cpu_times.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        cpu_times.append(dt)
         cpu_loads.append(round(max(load0, os.getloadavg()[0]), 2))
-    # Trimmed median: steal-time contamination is one-sided (reps only get
-    # SLOWER under load), so drop the max before the median.
-    trimmed = sorted(cpu_times)[:-1] if len(cpu_times) > 2 else cpu_times
-    cpu_t = float(np.median(trimmed))
-    log(f"cpu (sslap-class GS, steady-state x{len(cpu_times)}): "
-        f"trimmed median {cpu_t:.2f}s band [{min(cpu_times):.2f}, "
-        f"{max(cpu_times):.2f}]s loadavg/rep={cpu_loads} "
-        f"bids={res_cpu['meta']['host_bids']} "
-        f"obj={res_cpu['meta']['obj']:.1f}")
+        return dt
+
+    def cpu_summary():
+        # Trimmed median: steal-time contamination is one-sided (reps only
+        # get SLOWER under load), so drop the max before the median.
+        trimmed = sorted(cpu_times)[:-1] if len(cpu_times) > 2 else cpu_times
+        cpu_t = float(np.median(trimmed))
+        log(f"cpu (sslap-class GS, steady-state x{len(cpu_times)}): "
+            f"trimmed median {cpu_t:.2f}s band [{min(cpu_times):.2f}, "
+            f"{max(cpu_times):.2f}]s loadavg/rep={cpu_loads} "
+            f"bids={res_cpu['meta']['host_bids']} "
+            f"obj={res_cpu['meta']['obj']:.1f}")
+        return cpu_t
+
+    cpu_times, cpu_loads = [], []
+    cpu_rep()                                    # one timed rep up front:
+    # the dead-tunnel branch needs a CPU number, and this rep's minutes
+    # double as the recovery window for a half-dead relay
 
     if not alive:
         # Second chance: the CPU-reference section above takes minutes, and
@@ -171,6 +182,9 @@ def main():
         # The reported path IS the baseline-class CPU solver; vs_baseline
         # 1.0 by construction, flagged so the record can't be read as a
         # TPU result.
+        for _ in range(cpu_reps - 1):
+            cpu_rep()
+        cpu_t = cpu_summary()
         print(json.dumps({
             "metric": "time_to_optimal_1Mx1M_sparse_lap_nnz_per_s",
             "value": round(nnz / cpu_t, 1),
@@ -191,15 +205,26 @@ def main():
 
     # Hybrid TPU path: construct-once solver (ingest + device transfer paid
     # once -- the production serving pattern), warm the compile, then time
-    # steady-state solves.
+    # steady-state solves INTERLEAVED with the remaining CPU reps.
+    # Pairing matters (round-5 acceptance): two back-to-back bench runs
+    # measured the CPU block 7.67 vs 8.31 s (same session, loadavg ~0.5
+    # both) while the device pass moved 0.3% -- the host's speed drifts on
+    # the tens-of-minutes scale, so a ratio of two separated block medians
+    # inherits that drift.  The per-pair cpu_i/hyb_i ratios sample both
+    # engines in the same host regime; their median is the reported
+    # vs_baseline.
     solver = AuctionSolver(loc=loc, val=vv, shape=(n, n), mode="hybrid",
                            cardinality_check=False)
     res_h = solver.solve()                       # compile + transfer warmup
     hyb_times = []
-    for _ in range(3):
+    for i in range(cpu_reps):
         t0 = time.perf_counter()
         res_h = solver.solve()
         hyb_times.append(time.perf_counter() - t0)
+        if i + 1 < cpu_reps:
+            cpu_rep()                            # pair i+1's CPU half
+    cpu_t = cpu_summary()
+    ratios = [c / h for c, h in zip(cpu_times, hyb_times)]
     hyb_t = float(np.median(hyb_times))
     meta = res_h["meta"]
     log(f"hybrid (steady-state x{len(hyb_times)}): median {hyb_t:.2f}s "
@@ -268,8 +293,9 @@ def main():
     nnz_per_s = nnz / hyb_t
     log(f"best mode: {'cpu' if cpu_t <= hyb_t else 'hybrid'}")
     # JSON field notes (VERDICT round-4 weak items 1 and 6):
-    #  - vs_baseline: trimmed-median CPU / median hybrid (host-noise
-    #    hygiene above); band from the raw rep spreads.
+    #  - vs_baseline: median of the PAIRED per-rep cpu_i/hyb_i ratios
+    #    (interleaved sampling cancels common-mode host drift); band =
+    #    [min, max] of the pair ratios.
     #  - device_pass_nnz_per_s: nnz / device-pass seconds -- the
     #    DEVICE-REFERENCED secondary metric, immune to the 1-vCPU CPU
     #    baseline's steal-time wobble; compare it round-over-round to see
@@ -284,9 +310,8 @@ def main():
         "metric": "time_to_optimal_1Mx1M_sparse_lap_nnz_per_s",
         "value": round(nnz_per_s, 1),
         "unit": "nnz/s",
-        "vs_baseline": round(cpu_t / hyb_t, 3),
-        "vs_baseline_band": [round(min(cpu_times) / max(hyb_times), 3),
-                             round(max(cpu_times) / min(hyb_times), 3)],
+        "vs_baseline": round(float(np.median(ratios)), 3),
+        "vs_baseline_band": [round(min(ratios), 3), round(max(ratios), 3)],
         "cpu_steady_s": round(cpu_t, 2),
         "cpu_steady_band": [round(min(cpu_times), 2),
                             round(max(cpu_times), 2)],
