@@ -133,16 +133,33 @@ def main():
     solver_cpu = AuctionSolver(loc=loc, val=vv, shape=(n, n), mode="cpu",
                                cardinality_check=False)
     res_cpu = solver_cpu.solve()                 # warm: ingest + CSR cached
-    cpu_reps = int(os.environ.get("BENCH_CPU_REPS", "5"))
+    cpu_reps = int(os.environ.get("BENCH_CPU_REPS", "7"))
+
+    def _steal_jiffies():
+        # /proc/stat field 8 = hypervisor steal.  loadavg cannot see it,
+        # and it is the prime suspect for the 13%-in-20-minutes CPU-rep
+        # drift measured round 5 (device pass flat to 0.04% across the
+        # same runs).  Per-rep steal%% makes a contaminated baseline
+        # self-diagnosing in the recorded JSON.
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            return int(parts[8]) if len(parts) > 8 else 0
+        except Exception:
+            return 0
 
     def cpu_rep():
         nonlocal res_cpu
         load0 = os.getloadavg()[0]
+        st0 = _steal_jiffies()
         t0 = time.perf_counter()
         res_cpu = solver_cpu.solve()
         dt = time.perf_counter() - t0
         cpu_times.append(dt)
         cpu_loads.append(round(max(load0, os.getloadavg()[0]), 2))
+        # jiffy = 10 ms at USER_HZ=100; report steal as % of the rep wall
+        cpu_steals.append(round((_steal_jiffies() - st0) / 100.0 / dt * 100,
+                                1))
         return dt
 
     def cpu_summary():
@@ -153,11 +170,12 @@ def main():
         log(f"cpu (sslap-class GS, steady-state x{len(cpu_times)}): "
             f"trimmed median {cpu_t:.2f}s band [{min(cpu_times):.2f}, "
             f"{max(cpu_times):.2f}]s loadavg/rep={cpu_loads} "
+            f"steal%/rep={cpu_steals} "
             f"bids={res_cpu['meta']['host_bids']} "
             f"obj={res_cpu['meta']['obj']:.1f}")
         return cpu_t
 
-    cpu_times, cpu_loads = [], []
+    cpu_times, cpu_loads, cpu_steals = [], [], []
     cpu_rep()                                    # one timed rep up front:
     # the dead-tunnel branch needs a CPU number, and this rep's minutes
     # double as the recovery window for a half-dead relay
@@ -316,6 +334,7 @@ def main():
         "cpu_steady_band": [round(min(cpu_times), 2),
                             round(max(cpu_times), 2)],
         "cpu_loadavg_per_rep": cpu_loads,
+        "cpu_steal_pct_per_rep": cpu_steals,
         "hyb_steady_s": round(hyb_t, 2),
         "cpu_nnz_per_s": round(nnz / cpu_t, 1),
         "device_s": round(device_s, 2),
