@@ -65,13 +65,19 @@ def drift_values(val, rng, sigma=10.0, low=1.0, high=1000.0):
 
 
 def drift_pattern(rr, cc, vv, n, m, n_anchor, rng, frac=1e-3,
-                  low=1.0, high=1000.0):
+                  low=1.0, high=1000.0, protect_keys=None):
     """Replace ``frac`` of the non-anchor edges with fresh random ones.
     The first ``n_anchor`` edges (a permutation) stay put so every frame
-    remains feasible -- the tracking analogue of persistent detections."""
+    remains feasible -- the tracking analogue of persistent detections.
+    ``protect_keys`` (sorted int64 r*m+c keys, e.g. the previous frame's
+    MATCHING) are likewise exempt from churn: a real tracker's current
+    tracks persist into the next frame, and without this the churn can
+    destroy feasibility outright (observed at 1M/4 frames, round 5)."""
     e = rr.shape[0]
     repl = rng.random(e) < frac
     repl[:n_anchor] = False
+    if protect_keys is not None and len(protect_keys):
+        repl &= ~np.isin(rr * np.int64(m) + cc, protect_keys)
     k = int(repl.sum())
     rr = rr.copy()
     cc = cc.copy()
@@ -219,7 +225,11 @@ def main():
         matchB = rB["sol"]
 
         for f in range(1, args.frames + 1):
-            rrB, ccB, vvB = drift_pattern(rrB, ccB, vvB, n, n, 0, rng)
+            mrows = np.flatnonzero(np.asarray(matchB) >= 0).astype(np.int64)
+            protect = np.sort(mrows * np.int64(n)
+                              + np.asarray(matchB)[mrows])
+            rrB, ccB, vvB = drift_pattern(rrB, ccB, vvB, n, n, 0, rng,
+                                          protect_keys=protect)
             vvB = drift_values(vvB, rng, sigma=args.sigma)
             locB = np.stack([rrB, ccB], 1)
 
