@@ -109,6 +109,10 @@ def main():
     ap.add_argument("--families", default="ABC",
                     help="subset of drift families to run (A=value drift, "
                          "B=pattern churn, C=persistent pattern)")
+    ap.add_argument("--warm-eps-mult", type=float, default=4.0,
+                    help="family B fr-warm eps_start = mult * sigma")
+    ap.add_argument("--warm-theta", type=float, default=0.0,
+                    help="family B fr-warm theta override (0 = default)")
     ap.add_argument("--sigma-persistent", type=float, default=0.5,
                     help="family C per-frame drift stddev (<= 0.1%% of the "
                          "1..1000 cost range: the persistent-pattern "
@@ -254,11 +258,20 @@ def main():
                 # (prices cannot move down).  The --warm treatment under
                 # test repairs that: warm_relax=0.9 scalar rollback
                 # (round 4) or the forward-reverse dual tightening
-                # (round 5, warm_mode='fr'); the FULL default schedule
-                # stays (an eps_start shortcut blew the truncated
-                # hybrid's GS budget at 1M).
+                # (round 5, warm_mode='fr').  Under raw/relaxed duals the
+                # drift-matched eps_start shortcut blew the GS budget
+                # (round 4: full schedule required); FR-tightened duals
+                # are dual-FEASIBLE for the new costs, so the shortcut is
+                # back on the table -- measured here, cold fallback below
+                # guards it either way.
+                skw = {}
+                if args.warm == "fr":
+                    skw["eps_start"] = args.warm_eps_mult * args.sigma
+                    if args.warm_theta:
+                        skw["theta"] = args.warm_theta
                 s = AuctionSolver(loc=locB, val=vvB, shape=(n, n),
-                                  mode=mode, cardinality_check=False)
+                                  mode=mode, cardinality_check=False,
+                                  **skw)
                 r = s.solve(warm_prices=pricesB, **warm_kwargs())
                 fell_back = False
                 if not r["meta"]["soln_found"]:
