@@ -179,9 +179,37 @@ def _device_phase(cols, vals_t, valid, nvalid, prices, owner, sigma,
 
 
 
+def _csr_to_csc(indptr, indices, data, n, m):
+    """Column-major twin of the host CSR (for the reverse passes of the
+    FR engine).  One stable argsort + gathers; built once per solve and
+    cached next to the CSR in device_cache."""
+    rows_flat = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    order = np.argsort(indices[:rows_flat.shape[0]], kind="stable")
+    cindices = rows_flat[order].astype(np.int32)
+    cvals = np.ascontiguousarray(np.asarray(data)[order])
+    counts = np.bincount(np.asarray(indices), minlength=m)
+    cindptr = np.zeros(m + 1, np.int64)
+    np.cumsum(counts, out=cindptr[1:])
+    return cindptr, cindices, cvals
+
+
+def _run_gs(indptr, indices, data, prices, sigma, owner, eps, bigp,
+            n_dummy, budget, csc=None, profits=None):
+    """Dispatch one host finisher pass: the combined forward-reverse
+    engine when a CSC is supplied (square only), else the forward GS."""
+    if csc is not None and n_dummy == 0:
+        from sslap_tpu.native.build import auction_gs_fr
+        cindptr, cindices, cvals = csc
+        return auction_gs_fr(indptr, indices, data, cindptr, cindices,
+                             cvals, prices, profits, sigma, owner,
+                             eps, bigp, budget)
+    return _gs(indptr, indices, data, prices, sigma, owner, eps, bigp,
+               n_dummy, budget)
+
+
 def _finish_square_fast_path(res, tier_rounds, prob, indptr, indices, data,
                              prices, sigma, owner, e_min, bigp, tr, n, mode,
-                             t0, t_dev0):
+                             t0, t_dev0, csc=None):
     """Shared tail of the square hybrid: read back device state, run the
     native GS finisher at eps_min, build the meta dict (honest optimality
     accounting -- see inline comments)."""
@@ -215,8 +243,10 @@ def _finish_square_fast_path(res, tier_rounds, prob, indptr, indices, data,
     assigned = sigma >= 0
     owner[sigma[assigned]] = np.nonzero(assigned)[0].astype(np.int32)
     t_gs0 = time.perf_counter()
-    bids = _gs(indptr, indices, data, prices, sigma, owner,
-               e_min, bigp, 0, 100 * n + 10_000_000)
+    bids = _run_gs(indptr, indices, data, prices, sigma, owner,
+                   e_min, bigp, 0, 100 * n + 10_000_000, csc=csc,
+                   profits=(np.zeros(n, prices.dtype)
+                            if csc is not None else None))
     t_gs = time.perf_counter() - t_gs0
     unassigned = int(((sigma < 0) & (np.diff(indptr) > 0)).sum())
     # Honest optimality accounting: the eps_min-CS guarantee only holds
@@ -268,6 +298,7 @@ def solve_hybrid(
     wide_rounds: Optional[bool] = None,
     fine_ladder: Optional[bool] = None,
     warm_fr: int = 0,
+    gs_engine: str = "forward",      # 'forward' | 'fr' (square, native)
 ):
     """eps-scaled solve with device bulk + host tail (or pure host).
 
@@ -321,6 +352,18 @@ def solve_hybrid(
         if device_cache is not None:
             device_cache.update(csr_key=csr_key,
                                 csr=(indptr, indices, data))
+    # Combined forward-reverse finisher (round 5): square + native only;
+    # anything else silently keeps the forward engine (rect keeps the
+    # heap-based dummy path, numpy-fallback hosts have no FR entry).
+    csc = None
+    if gs_engine == "fr" and n == m and native_available():
+        if device_cache is not None and \
+                device_cache.get("csc_key") == csr_key:
+            csc = device_cache["csc"]
+        else:
+            csc = _csr_to_csc(indptr, indices, data, n, m)
+            if device_cache is not None:
+                device_cache.update(csc_key=csr_key, csc=csc)
     if valid_np.any():
         tmax, tmin = data.max(), data.min()
         bigp = (tmax - tmin) + (1 if np.issubdtype(dtype, np.integer) else 1.0)
@@ -428,7 +471,7 @@ def solve_hybrid(
             tiers=tiers_static)
         return _finish_square_fast_path(
             res, tier_rounds, prob, indptr, indices, data, prices, sigma,
-            owner, e_min, bigp, tr, n, mode, t0, t_dev0)
+            owner, e_min, bigp, tr, n, mode, t0, t_dev0, csc=csc)
     if use_device and n_dummy == 0:
         # Non-default square engines (e.g. engine='candidates') keep the
         # ELL-argument entry; they build their own packs in-jit.
@@ -443,18 +486,24 @@ def solve_hybrid(
             engine=engine)
         return _finish_square_fast_path(
             res, tier_rounds, prob, indptr, indices, data, prices, sigma,
-            owner, e_min, bigp, tr, n, mode, t0, t_dev0)
+            owner, e_min, bigp, tr, n, mode, t0, t_dev0, csc=csc)
 
     if use_device:
         vals_t = tr.apply(prob.vals)
         d_prices = jnp.asarray(prices)
 
+    profits = np.zeros(n, dtype) if csc is not None else None
     eps = max(e0, e_min)
     total_rounds = 0
     total_bids = 0
     phases = 0
     t0 = time.perf_counter()
-    host_budget = 50 * n + 100_000  # bids per phase safety valve
+    # Bids-per-phase safety valve.  Scale with the TOTAL bidder count --
+    # real rows AND implicit dummies: a rectangular phase runs (m - n)
+    # dummy grabs plus their real-row evictions, so an n-scaled budget
+    # falsely tripped at 100k x 200k (round 5: one unassigned row left at
+    # final_eps 0.32, soln_found honest-false, ~2.6M bids/phase).
+    host_budget = 50 * (n + n_dummy) + 100_000
 
     first_phase = True
     while True:
@@ -484,8 +533,9 @@ def solve_hybrid(
             prices = np.array(d_prices)      # host copies for the GS tail
             sigma = np.array(d_sigma)
             owner = np.array(d_owner)
-        bids = _gs(indptr, indices, data, prices, sigma, owner,
-                   eps, bigp, n_dummy, host_budget)
+        bids = _run_gs(indptr, indices, data, prices, sigma, owner,
+                       eps, bigp, n_dummy, host_budget, csc=csc,
+                       profits=profits)
         if bids < 0:
             break  # bid budget exhausted: likely infeasible
         total_bids += bids
