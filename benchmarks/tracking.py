@@ -109,6 +109,10 @@ def main():
     ap.add_argument("--families", default="ABC",
                     help="subset of drift families to run (A=value drift, "
                          "B=pattern churn, C=persistent pattern)")
+    ap.add_argument("--gs-engine", default="forward",
+                    choices=["forward", "fr"],
+                    help="host finisher engine for ALL arms (round 5: "
+                         "'fr' = combined forward-reverse auction)")
     ap.add_argument("--warm-eps-mult", type=float, default=4.0,
                     help="family B fr-warm eps_start = mult * sigma")
     ap.add_argument("--warm-theta", type=float, default=0.0,
@@ -124,8 +128,13 @@ def main():
                 else {"warm_relax": 0.9} if args.warm == "relax"
                 else {"warm_mode": "fr"})
 
-    from sslap_tpu import AuctionSolver, hopcroft_solve
+    import functools
+    from sslap_tpu import AuctionSolver as _AuctionSolver, hopcroft_solve
     from sslap_tpu.utils import device_alive
+    # One switch flips the host finisher for every arm (cold and warm):
+    # the A/B contract is engine-vs-engine on identical workloads.
+    AuctionSolver = functools.partial(_AuctionSolver,
+                                      gs_engine=args.gs_engine)
 
     mode = args.mode
     if mode is None:

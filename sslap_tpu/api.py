@@ -135,6 +135,7 @@ class AuctionSolver:
         engine=_UNSET,
         wide_rounds=_UNSET,
         fine_ladder=_UNSET,
+        gs_engine=_UNSET,
         config=None,
     ):
         # Resolution order: explicit kwarg > AuctionConfig > built-in
@@ -159,6 +160,9 @@ class AuctionSolver:
         engine = pick(engine, "engine")
         wide_rounds = pick(wide_rounds, "wide_rounds")
         fine_ladder = pick(fine_ladder, "fine_ladder")
+        gs_engine = pick(gs_engine, "gs_engine")
+        if gs_engine not in ("forward", "fr"):
+            raise ValueError(f"unknown gs_engine {gs_engine!r}")
 
         self.problem_spec = _ingest_any(mat=mat, loc=loc, val=val, shape=shape,
                                         dtype=dtype, pad_to=pad_to)
@@ -196,6 +200,10 @@ class AuctionSolver:
         # Fine tier interleave below 32768 (compact.default_tiers):
         # None = SSLAP_TPU_FINE_LADDER env default (on since round 5).
         self.fine_ladder = fine_ladder
+        # Host finisher: 'forward' (default, sslap-class GS) or 'fr'
+        # (combined forward-reverse auction, round 5; square+native only
+        # -- silently forward otherwise).
+        self.gs_engine = gs_engine
         self.prices: Optional[np.ndarray] = None
         self.meta: Optional[dict] = None
         # Device-resident problem data reused across solve() calls
@@ -441,7 +449,7 @@ class AuctionSolver:
                     device_cache=self._device_cache,
                     wide_rounds=self.wide_rounds,
                     fine_ladder=self.fine_ladder,
-                    warm_fr=warm_fr)
+                    warm_fr=warm_fr, gs_engine=self.gs_engine)
             except jax.errors.JaxRuntimeError as e:
                 if mode != "hybrid":
                     raise
@@ -458,7 +466,7 @@ class AuctionSolver:
                     max_iter=self.max_iter, mode="cpu",
                     warm_prices=warm_prices,
                     keep_assignment=self.keep_assignment,
-                    warm_fr=warm_fr)
+                    warm_fr=warm_fr, gs_engine=self.gs_engine)
             unassigned = hmeta["unassigned"] + n_empty
             # AND with the engine's own verdict: solve_hybrid also requires
             # bids >= 0 (GS budget not exhausted) and eps_min reached --

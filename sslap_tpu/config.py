@@ -54,6 +54,10 @@ class AuctionConfig:
                                          # see compact.default_tiers)
     engine: str = "auto"                 # square device engine: 'auto'|
                                          # 'compact'|'candidates'|'dense'
+    gs_engine: str = "forward"           # host finisher: 'forward' or
+                                         # 'fr' (combined forward-reverse
+                                         # auction; square+native only,
+                                         # round 5)
 
     def __post_init__(self):
         if self.problem not in ("min", "max"):
@@ -71,6 +75,8 @@ class AuctionConfig:
             raise ValueError(f"unknown mode {self.mode!r}")
         if self.engine not in ("auto", "compact", "candidates", "dense"):
             raise ValueError(f"unknown engine {self.engine!r}")
+        if self.gs_engine not in ("forward", "fr"):
+            raise ValueError(f"unknown gs_engine {self.gs_engine!r}")
 
     def solver_kwargs(self) -> dict:
         """The kwargs this config supplies to AuctionSolver."""
@@ -89,4 +95,5 @@ class AuctionConfig:
             "wide_rounds": self.wide_rounds,
             "fine_ladder": self.fine_ladder,
             "engine": self.engine,
+            "gs_engine": self.gs_engine,
         }

@@ -161,6 +161,14 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.sslap_unassign_violators_i32.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p,
         i32p, i32p, i32p, ctypes.c_int32, ctypes.c_int64]
+    for nm, fp, ct in (("sslap_auction_gs_fr_f32", f32p, ctypes.c_float),
+                       ("sslap_auction_gs_fr_f64", f64p, ctypes.c_double),
+                       ("sslap_auction_gs_fr_i32", i32p, ctypes.c_int32)):
+        fn = getattr(lib, nm)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p, i32p, fp,
+                       i64p, i32p, fp, fp, fp, i32p, i32p, ct, ct,
+                       ctypes.c_int64]
     lib.sslap_fr_tighten_f32.restype = None
     lib.sslap_fr_tighten_f32.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i64p, i32p, f32p, f32p,
@@ -454,6 +462,44 @@ def unassign_violators_native(indptr: np.ndarray, indices: np.ndarray,
     fn(n, m, _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
        _ptr(vals, ct), _ptr(prices, ct), _ptr(sigma, ctypes.c_int32),
        _ptr(owner, ctypes.c_int32), ct(eps), int(n_dummy_total))
+
+
+def auction_gs_fr(indptr: np.ndarray, indices: np.ndarray,
+                  vals: np.ndarray, cindptr: np.ndarray,
+                  cindices: np.ndarray, cvals: np.ndarray,
+                  prices: np.ndarray, profits: np.ndarray,
+                  sigma: np.ndarray, owner: np.ndarray,
+                  eps, bigp, max_bids: int) -> int:
+    """Run the native combined forward-reverse Gauss-Seidel auction in
+    place over CSR + CSC (square problems; transformed maximization
+    values).  ``prices``/``profits``/``sigma``/``owner`` are modified.
+    Returns bids performed, or -1 if max_bids was exhausted."""
+    lib = load_native()
+    assert lib is not None, "native library unavailable"
+    n = sigma.shape[0]
+    m = prices.shape[0]
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    cindptr = np.ascontiguousarray(cindptr, np.int64)
+    cindices = np.ascontiguousarray(cindices, np.int32)
+    assert sigma.dtype == np.int32 and owner.dtype == np.int32
+    assert prices.dtype == vals.dtype == cvals.dtype == profits.dtype
+    for a in (prices, profits, sigma, owner, vals, cvals):
+        assert a.flags.c_contiguous
+    if prices.dtype == np.float32:
+        fn, ct = lib.sslap_auction_gs_fr_f32, ctypes.c_float
+    elif prices.dtype == np.float64:
+        fn, ct = lib.sslap_auction_gs_fr_f64, ctypes.c_double
+    elif prices.dtype == np.int32:
+        fn, ct = lib.sslap_auction_gs_fr_i32, ctypes.c_int32
+    else:
+        raise TypeError(f"unsupported dtype {prices.dtype}")
+    return fn(n, m, _ptr(indptr, ctypes.c_int64),
+              _ptr(indices, ctypes.c_int32), _ptr(vals, ct),
+              _ptr(cindptr, ctypes.c_int64), _ptr(cindices, ctypes.c_int32),
+              _ptr(cvals, ct), _ptr(prices, ct), _ptr(profits, ct),
+              _ptr(sigma, ctypes.c_int32), _ptr(owner, ctypes.c_int32),
+              ct(eps), ct(bigp), int(max_bids))
 
 
 def fr_tighten_native(indptr: np.ndarray, indices: np.ndarray,

@@ -693,6 +693,176 @@ int64_t auction_gs(int64_t n, int64_t m, const int64_t* indptr,
   return bids;
 }
 
+// ---------------------------------------------------------------------------
+// Combined forward-reverse Gauss-Seidel auction (square problems).
+//
+// Round-5 component (Bertsekas & Castanon's combined forward/reverse
+// auction; PAPERS.md arXiv:1401.0119 family).  The forward-only engine's
+// structural cost on churned warm re-solves: a displaced row re-enters at
+// eps_min where eviction chains are longest -- prices can only rise, so
+// the chain must climb over the whole local price landscape.  Reverse
+// bids (unassigned COLUMNS bid for rows; profits rise, and the winning
+// column's price is SET DOWN to b2 - eps) attack the same chains from the
+// other side and meet in the middle.
+//
+// Invariants (maintained by both bid types, one-line checks in comments):
+//   dual feasibility:  pi_i + p_j >= a_ij - eps          on every edge
+//   assigned pairs:    pi_i + p_j  = a_ij                (tight)
+// Each forward bid raises p_jstar by >= eps, each reverse bid raises
+// pi_istar by >= eps, and duals are bounded for feasible instances =>
+// termination; max_bids is the infeasibility valve (-1, same contract as
+// auction_gs).  Alternation: phase-snapshot round-robin -- process the
+// rows queued at phase start, then the columns queued at phase start,
+// repeat.  Lazy skip on pop (a target may have been assigned meanwhile);
+// in_queue flags keep each id queued at most once.
+//
+// Entry accepts a PARTIAL assignment (sigma/owner, e.g. a truncated
+// device phase's state).  Profits are initialized here: tight for
+// assigned rows (their pairs satisfy forward eps-CS on entry), best-value
+// for unassigned rows.  On exit the prices alone still satisfy forward
+// eps-CS for the final assignment (tightness + feasibility above), so
+// callers can keep treating prices as THE dual state.
+template <typename T>
+int64_t auction_gs_fr(int64_t n, int64_t m,
+                      const int64_t* indptr, const int32_t* indices,
+                      const T* vals,                       // CSR (rows)
+                      const int64_t* cindptr, const int32_t* cindices,
+                      const T* cvals,                      // CSC (columns)
+                      T* prices, T* profits, int32_t* sigma, int32_t* owner,
+                      T eps, T bigp, int64_t max_bids) {
+  std::vector<int32_t> row_q(n), col_q(m);
+  std::vector<uint8_t> row_in(n, 0), col_in(m, 0);
+  int64_t rq_head = 0, rq_tail = 0, cq_head = 0, cq_tail = 0;
+  auto push_row = [&](int32_t u) {
+    if (!row_in[u]) { row_in[u] = 1; row_q[rq_tail++ % n] = u; }
+  };
+  auto push_col = [&](int32_t j) {
+    if (!col_in[j]) { col_in[j] = 1; col_q[cq_tail++ % m] = j; }
+  };
+  // Profit init: tight on assigned pairs, best-value on unassigned rows.
+  for (int64_t i = 0; i < n; ++i) {
+    if (sigma[i] >= 0) {
+      // find the assigned entry's value (rows are short; linear scan)
+      T a = T(0);
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        if (indices[k] == sigma[i]) { a = vals[k]; break; }
+      }
+      profits[i] = a - prices[sigma[i]];
+    } else {
+      T best = -bigp;
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        T w = vals[k] - prices[indices[k]];
+        if (w > best) best = w;
+      }
+      profits[i] = best;
+      if (indptr[i + 1] > indptr[i]) push_row((int32_t)i);
+    }
+  }
+  for (int64_t j = 0; j < m; ++j) {
+    if (owner[j] < 0 && cindptr[j + 1] > cindptr[j]) push_col((int32_t)j);
+  }
+
+  // Scheduling (two measured failure modes inform it):
+  //   * naive phase-snapshot alternation LIVELOCKS (107k bids at n=150:
+  //     forward raises a price by eps, reverse sets it back -- neither
+  //     dual is monotone across the mix);
+  //   * strict Bertsekas-Castanon switch-on-every-match TERMINATES but
+  //     doubles the work on random instances (66-71M bids vs the pure
+  //     forward engine's 33M at 1M -- reverse stretches keep stealing
+  //     what forward just built).
+  // Shipped schedule: FORWARD-PREFERRED.  Forward runs freely; a reverse
+  // stretch (until one matched-count increase) is invoked only when
+  // forward goes ``stall_t`` bids without assigning a fresh column --
+  // the long-eviction-chain regime reverse bids exist for.  A global
+  // reverse-bid budget bounds the mixed phase; once spent, the run is
+  // pure forward, whose termination is the standard auction argument.
+  int64_t matched = 0;
+  for (int64_t i = 0; i < n; ++i) matched += (sigma[i] >= 0);
+  const int64_t stall_t = 256;
+  int64_t reverse_budget = 4 * n + 1024;
+  int64_t stall = 0;
+
+  int64_t bids = 0;
+  while (rq_head != rq_tail || cq_head != cq_tail) {
+    // ---- forward (preferred) ----
+    while (rq_head != rq_tail) {
+      int32_t u = row_q[rq_head++ % n];
+      row_in[u] = 0;
+      if (sigma[u] >= 0) continue;          // reverse bid took it
+      if (bids >= max_bids) return -1;
+      ++bids;
+      T v1 = T(0), v2 = T(0);
+      int64_t kbest = -1;
+      bool has1 = false, has2 = false;
+      for (int64_t k = indptr[u]; k < indptr[u + 1]; ++k) {
+        T w = vals[k] - prices[indices[k]];
+        if (!has1 || w > v1) {
+          if (has1) { v2 = v1; has2 = true; }
+          v1 = w; kbest = k; has1 = true;
+        } else if (!has2 || w > v2) {
+          v2 = w; has2 = true;
+        }
+      }
+      if (!has1) continue;                  // permanently unassignable
+      if (!has2) v2 = v1 - bigp;
+      int64_t jstar = indices[kbest];
+      int32_t w = owner[jstar];
+      bool progress = (w < 0);
+      if (w >= 0) { sigma[w] = -1; push_row(w); }
+      prices[jstar] = vals[kbest] - v2 + eps;   // p rises by >= eps
+      profits[u] = v2 - eps;                    // tight: pi+p = a exactly
+      owner[jstar] = u;
+      sigma[u] = (int32_t)jstar;
+      if (progress) {
+        ++matched;
+        stall = 0;
+      } else if (++stall >= stall_t && reverse_budget > 0) {
+        stall = 0;
+        break;                              // chain too long: try reverse
+      }
+    }
+    // ---- reverse stretch: until one matched-count increase ----
+    while (cq_head != cq_tail && reverse_budget > 0) {
+      int32_t j = col_q[cq_head++ % m];
+      col_in[j] = 0;
+      if (owner[j] >= 0) continue;          // forward bid took it
+      if (bids >= max_bids) return -1;
+      ++bids;
+      T b1 = T(0), b2 = T(0);
+      int64_t kbest = -1;
+      bool has1 = false, has2 = false;
+      for (int64_t k = cindptr[j]; k < cindptr[j + 1]; ++k) {
+        T w = cvals[k] - profits[cindices[k]];
+        if (!has1 || w > b1) {
+          if (has1) { b2 = b1; has2 = true; }
+          b1 = w; kbest = k; has1 = true;
+        } else if (!has2 || w > b2) {
+          b2 = w; has2 = true;
+        }
+      }
+      if (!has1) continue;
+      if (!has2) b2 = b1 - bigp;
+      --reverse_budget;
+      int64_t istar = cindices[kbest];
+      int32_t jprev = sigma[istar];
+      bool progress = (jprev < 0);
+      if (jprev >= 0) { owner[jprev] = -1; push_col(jprev); }
+      profits[istar] = cvals[kbest] - b2 + eps;  // pi rises by >= eps
+      prices[j] = b2 - eps;                      // tight: pi+p = a exactly
+      owner[j] = istar;
+      sigma[istar] = (int32_t)j;
+      if (progress) { ++matched; break; }
+    }
+    // Budget spent: the run is pure forward from here on, so stale
+    // column entries must not keep the outer loop spinning (the column
+    // queue can no longer change).
+    if (reverse_budget <= 0) {
+      while (cq_head != cq_tail) col_in[col_q[cq_head++ % m]] = 0;
+    }
+  }
+  return bids;
+}
+
 // Warm-started eps-scaling: unassign only the pairs violating eps-CS for
 // the new (smaller) eps.  Mirrors auction.py:unassign_violators exactly so
 // device and host phases interoperate in the hybrid path.
@@ -788,6 +958,43 @@ void fr_tighten(int64_t n, int64_t m, const int64_t* indptr,
 }  // namespace
 
 extern "C" {
+
+int64_t sslap_auction_gs_fr_f32(int64_t n, int64_t m, const int64_t* indptr,
+                                const int32_t* indices, const float* vals,
+                                const int64_t* cindptr,
+                                const int32_t* cindices, const float* cvals,
+                                float* prices, float* profits,
+                                int32_t* sigma, int32_t* owner, float eps,
+                                float bigp, int64_t max_bids) {
+  return auction_gs_fr<float>(n, m, indptr, indices, vals, cindptr,
+                              cindices, cvals, prices, profits, sigma,
+                              owner, eps, bigp, max_bids);
+}
+
+int64_t sslap_auction_gs_fr_f64(int64_t n, int64_t m, const int64_t* indptr,
+                                const int32_t* indices, const double* vals,
+                                const int64_t* cindptr,
+                                const int32_t* cindices, const double* cvals,
+                                double* prices, double* profits,
+                                int32_t* sigma, int32_t* owner, double eps,
+                                double bigp, int64_t max_bids) {
+  return auction_gs_fr<double>(n, m, indptr, indices, vals, cindptr,
+                               cindices, cvals, prices, profits, sigma,
+                               owner, eps, bigp, max_bids);
+}
+
+int64_t sslap_auction_gs_fr_i32(int64_t n, int64_t m, const int64_t* indptr,
+                                const int32_t* indices, const int32_t* vals,
+                                const int64_t* cindptr,
+                                const int32_t* cindices,
+                                const int32_t* cvals, int32_t* prices,
+                                int32_t* profits, int32_t* sigma,
+                                int32_t* owner, int32_t eps, int32_t bigp,
+                                int64_t max_bids) {
+  return auction_gs_fr<int32_t>(n, m, indptr, indices, vals, cindptr,
+                                cindices, cvals, prices, profits, sigma,
+                                owner, eps, bigp, max_bids);
+}
 
 void sslap_fr_tighten_f32(int64_t n, int64_t m, const int64_t* indptr,
                           const int32_t* indices, const float* vals,
