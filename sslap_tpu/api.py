@@ -414,7 +414,7 @@ class AuctionSolver:
                   "sharded_hybrid": _par.auction_solve_sharded_hybrid}[mode]
             # Hand over the already-built ELLProblem (dtype applied at
             # construction): no COO round-trip, no second O(nnz) ingest.
-            extra = ({"wide_rounds": self.wide_rounds}
+            extra = ({"wide_rounds": self.wide_rounds, "warm_fr": warm_fr}
                      if mode == "sharded_hybrid" else {})
             res = fn(self.problem_spec,
                      problem=self.problem,

@@ -647,6 +647,7 @@ def auction_solve_sharded_hybrid(
     axis_name: str = "rows",
     trunc: int = 256,
     warm_prices=None,
+    warm_fr: int = 0,
     tiers: Optional[Tuple[int, ...]] = None,
     pairs_max: int = 8192,
     overlap: bool = False,
@@ -772,6 +773,12 @@ def auction_solve_sharded_hybrid(
     trunc_v = min(int(trunc), max(n // 8, 1))
     p0 = (np.zeros((m,), vdtype) if warm_prices is None
           else _auction.validate_warm_prices(warm_prices, m).astype(vdtype))
+    if warm_prices is not None and warm_fr > 0:
+        # Forward-reverse dual tightening, same as the single-chip hybrid
+        # (round 5): host-side, over the already-built global CSR, before
+        # the prices replicate onto the mesh.  Deterministic on identical
+        # host inputs, so SPMD symmetry across processes is preserved.
+        _auction.fr_tighten(indptr, indices, data_csr, p0, iters=warm_fr)
 
     # Multi-process meshes ("multi-host"): every process runs this entire
     # function SPMD on identical host inputs (same instance, same seeds);

@@ -121,6 +121,18 @@ def test_float_costs_and_warm_prices():
                                         warm_prices=sh.get("prices"))
     assert warm["meta"]["soln_found"]
     assert abs(warm["meta"]["obj"] - oracle) <= 1.5
+    # Round-5 FR dual tightening on the sharded surface: a CHURNED
+    # instance warm-started from the stale duals stays exact.
+    rng2 = np.random.default_rng(18)
+    loc2, val2, _ = random_sparse_instance(rng2, n, n, 0.1, integer=False)
+    fr = auction_solve_sharded_hybrid(loc=loc2, val=val2, shape=(n, n),
+                                      mesh=_mesh(), trunc=16,
+                                      cardinality_check=False,
+                                      warm_prices=sh.get("prices"),
+                                      warm_fr=2)
+    assert fr["meta"]["soln_found"]
+    oracle2 = scipy_sparse_objective(loc2, val2, n, n)
+    assert abs(fr["meta"]["obj"] - oracle2) <= 1.5
 
 
 def test_mesh_size_1_equals_single_device():
