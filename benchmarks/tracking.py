@@ -11,7 +11,8 @@ that workload would:
   - construct-once     ``AuctionSolver`` device caches (pattern-stable
                        frames skip re-ingest and H2D entirely)
 
-Two drift families over a 1M x 1M / 10 nnz/row instance:
+Three drift families over a 1M x 1M / 10 nnz/row instance
+(--families ABC):
 
   values : costs drift (clipped Gaussian), sparsity pattern FIXED.
            Warm frames skip feasibility (pattern unchanged) and re-solve
@@ -24,8 +25,13 @@ Two drift families over a 1M x 1M / 10 nnz/row instance:
            Exactness is unchanged (the final phase still completes at
            eps_min).
   pattern: 0.1% of non-anchor edges replaced per frame (plus value
-           drift).  Warm frames re-ingest, warm-HK from the previous
-           matching, and warm-start prices.
+           drift; the previous frame's MATCHING is protected -- real
+           trackers' current tracks persist).  Warm frames re-ingest,
+           warm-HK from the previous matching, and warm-start prices
+           (--warm fr: FR-tightened duals + drift-matched eps_start).
+  persistent (C): pattern FIXED, tiny drift (sigma <= 0.1% of the cost
+           range) over >= 4 chained warm frames -- the classic
+           persistent-detection tracking regime.
 
 Cold frames solve from scratch (fresh solver, full HK, full eps
 schedule).  Output: one JSON line per frame + a frames/s summary.
