@@ -65,6 +65,15 @@ def main():
     log(f"instance {n}x{n} nnz={rr.shape[0]}")
 
     def steady(fine, trunc, cache, reps):
+        # Each (fine, trunc) pair owns a distinct floor-pruned tier tuple
+        # -> its own XLA program; warm it OFF the clock (the round-5 sweep
+        # had to quote band minima because rep 1 of non-warmed cells
+        # carried a fresh 2-4 min compile).
+        t0 = time.perf_counter()
+        H.solve_hybrid(prob, trunc=trunc, device_cache=cache,
+                       fine_ladder=fine)
+        log(f"warm fine={fine} trunc={trunc}: "
+            f"{time.perf_counter() - t0:.1f}s")
         times, devs, gss, bids = [], [], [], []
         for _ in range(reps):
             t0 = time.perf_counter()
