@@ -161,7 +161,7 @@ class AuctionSolver:
         wide_rounds = pick(wide_rounds, "wide_rounds")
         fine_ladder = pick(fine_ladder, "fine_ladder")
         gs_engine = pick(gs_engine, "gs_engine")
-        if gs_engine not in ("forward", "fr"):
+        if gs_engine not in ("auto", "forward", "fr"):
             raise ValueError(f"unknown gs_engine {gs_engine!r}")
 
         self.problem_spec = _ingest_any(mat=mat, loc=loc, val=val, shape=shape,
@@ -200,9 +200,10 @@ class AuctionSolver:
         # Fine tier interleave below 32768 (compact.default_tiers):
         # None = SSLAP_TPU_FINE_LADDER env default (on since round 5).
         self.fine_ladder = fine_ladder
-        # Host finisher: 'forward' (default, sslap-class GS) or 'fr'
-        # (combined forward-reverse auction, round 5; square+native only
-        # -- silently forward otherwise).
+        # Host finisher: 'auto' (default: FR on the square hybrid tail,
+        # forward everywhere else -- see hybrid.solve_hybrid), 'forward'
+        # (sslap-class GS), or 'fr' (square+native only; silently
+        # forward otherwise).
         self.gs_engine = gs_engine
         self.prices: Optional[np.ndarray] = None
         self.meta: Optional[dict] = None

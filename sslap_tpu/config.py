@@ -54,10 +54,11 @@ class AuctionConfig:
                                          # see compact.default_tiers)
     engine: str = "auto"                 # square device engine: 'auto'|
                                          # 'compact'|'candidates'|'dense'
-    gs_engine: str = "forward"           # host finisher: 'forward' or
+    gs_engine: str = "auto"              # host finisher: 'auto' (= 'fr'
+                                         # on the square hybrid tail,
+                                         # else 'forward'), 'forward', or
                                          # 'fr' (combined forward-reverse
-                                         # auction; square+native only,
-                                         # round 5)
+                                         # auction; square+native only)
 
     def __post_init__(self):
         if self.problem not in ("min", "max"):
@@ -75,7 +76,7 @@ class AuctionConfig:
             raise ValueError(f"unknown mode {self.mode!r}")
         if self.engine not in ("auto", "compact", "candidates", "dense"):
             raise ValueError(f"unknown engine {self.engine!r}")
-        if self.gs_engine not in ("forward", "fr"):
+        if self.gs_engine not in ("auto", "forward", "fr"):
             raise ValueError(f"unknown gs_engine {self.gs_engine!r}")
 
     def solver_kwargs(self) -> dict:

@@ -298,7 +298,7 @@ def solve_hybrid(
     wide_rounds: Optional[bool] = None,
     fine_ladder: Optional[bool] = None,
     warm_fr: int = 0,
-    gs_engine: str = "forward",      # 'forward' | 'fr' (square, native)
+    gs_engine: str = "auto",         # 'auto' | 'forward' | 'fr'
 ):
     """eps-scaled solve with device bulk + host tail (or pure host).
 
@@ -355,6 +355,17 @@ def solve_hybrid(
     # Combined forward-reverse finisher (round 5): square + native only;
     # anything else silently keeps the forward engine (rect keeps the
     # heap-based dummy path, numpy-fallback hosts have no FR entry).
+    # 'auto' resolves to FR exactly where it was measured decisive: the
+    # SQUARE HYBRID's eps_min tail, whose truncated phases leave the
+    # long-eviction-chain regime reverse bids crush (on-chip at 1M:
+    # 906k tail bids vs the forward tail's 5.05M, GS 1.2-1.4 s -> 0.3 s,
+    # objective parity 1.6e-9; chip_logs/r5_tail_fr_ab.log).  mode='cpu'
+    # stays forward -- it is the sslap-class reference engine bench.py
+    # measures AGAINST, and must keep reference semantics.
+    if gs_engine == "auto":
+        gs_engine = ("fr" if (mode == "hybrid" and n == m
+                              and n_dummy == 0 and native_available())
+                     else "forward")
     csc = None
     if gs_engine == "fr" and n == m and native_available():
         if device_cache is not None and \
